@@ -1,0 +1,503 @@
+"""Query catalog — every implemented operator exposed as a (Spark fn,
+oracle SQL) pair over the driver's testdata tables.
+
+The driver (see __spark_entry__.py) runs each Spark callable and its DuckDB
+oracle side-by-side and hash-compares values, so the two sides follow strict
+conventions:
+
+- every computed column is aliased identically on both sides;
+- money/double aggregates go through DECIMAL casts (exact, order-free) and
+  are rounded to a fixed scale at the end — a double sum's result depends
+  on reduction order, a decimal sum's doesn't;
+- rows needing a deterministic "first/last of group" always carry a unique
+  tie-break column;
+- timestamps compare under the session's pinned UTC zone (session.py).
+
+Each entry names the SURVEY §2 operator(s) it exercises. The linkdb-domain
+operators (extract/compact/linkdb) are additionally tested on golden WAT
+fixtures in tests/ — here their *algebraic shape* (the A5/A6 merge recipes,
+the filter/sort/paginate surface) runs against the TPC-H-ish tables so the
+oracle can check them at sf scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) — Spark has no nanosecond
+        # timestamp, so read the raw int64 and floor-convert to micros
+        # (identical to DuckDB's nanos→micros truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 4):
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) \
+        else col.cast(f"decimal(18,{scale})")
+
+
+def _round2(c) -> F.Column:
+    return F.round(c.cast("double"), 2)
+
+
+# ---------------------------------------------------------------------------
+# Q: pricing_summary — the flagship aggregation (A-class partial/final agg,
+# SURVEY §2.5; TPC-H Q1 shape). Decimal-exact sums, rounded at the edge.
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,4)") + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _round2(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _round2(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _round2(F.sum(disc_price)).alias("sum_disc_price"),
+            _round2(F.sum(charge)).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: compaction_merge — the A5 group-merge recipe (operators/compact.py)
+# run over lineitem: group (l_partkey, l_suppkey); 'N' returnflag plays the
+# dofollow role; (l_quantity, l_extendedprice) pairs play page variants.
+
+def q_compaction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+        "l_extendedprice", "l_linenumber",
+        F.when(F.col("l_returnflag") == "N", 0).otherwise(1).alias("flag"),
+    )
+    w = Window.partitionBy("l_partkey", "l_suppkey")
+    surv = (
+        li.withColumn("_mf", F.min("flag").over(w))
+        .filter(F.col("flag") == F.col("_mf"))
+        .drop("_mf")
+    )
+    rep_order = F.struct("l_quantity", "l_extendedprice")
+    last_order = F.struct("l_shipdate", "l_linenumber")
+    return surv.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("flag").alias("no_follow"),
+        F.min("l_shipdate").alias("date_from"),
+        F.max("l_shipdate").alias("date_to"),
+        F.min_by("l_quantity", rep_order).alias("rep_qty"),
+        F.min_by("l_extendedprice", rep_order).alias("rep_price"),
+        F.max_by("l_linenumber", last_order).alias("last_line"),
+        F.countDistinct("l_quantity", "l_extendedprice").alias("qty"),
+    )
+
+
+SQL_COMPACTION_MERGE = """
+WITH base AS (
+  SELECT l_partkey, l_suppkey, l_shipdate, l_quantity, l_extendedprice,
+         l_linenumber,
+         CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END AS flag
+  FROM lineitem
+), surv AS (
+  SELECT * FROM (
+    SELECT *, min(flag) OVER (PARTITION BY l_partkey, l_suppkey) AS mf
+    FROM base
+  ) WHERE flag = mf
+), rep AS (
+  SELECT l_partkey, l_suppkey, l_quantity AS rep_qty,
+         l_extendedprice AS rep_price
+  FROM surv
+  QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                             ORDER BY l_quantity, l_extendedprice) = 1
+), last AS (
+  SELECT l_partkey, l_suppkey, l_linenumber AS last_line
+  FROM surv
+  QUALIFY row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                             ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+), agg AS (
+  SELECT l_partkey, l_suppkey, min(flag) AS no_follow,
+         min(l_shipdate) AS date_from, max(l_shipdate) AS date_to,
+         count(DISTINCT (l_quantity, l_extendedprice)) AS qty
+  FROM surv GROUP BY l_partkey, l_suppkey
+)
+SELECT agg.l_partkey, agg.l_suppkey, agg.no_follow, agg.date_from,
+       agg.date_to, rep.rep_qty, rep.rep_price, last.last_line, agg.qty
+FROM agg
+JOIN rep  ON agg.l_partkey = rep.l_partkey AND agg.l_suppkey = rep.l_suppkey
+JOIN last ON agg.l_partkey = last.l_partkey AND agg.l_suppkey = last.l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: api_merge — the A6 merge shape (operators/linkdb.merge_links) over
+# events: min/max dates widen, distinct set collects, qty sums.
+
+def q_api_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        _round2(F.sum(_dec("value", 2))).alias("total_value"),
+        F.count("*").alias("n_events"),
+        F.array_join(F.array_sort(F.collect_set("props")), ",").alias("props_set"),
+    )
+
+
+SQL_API_MERGE = """
+SELECT user_id, event_type,
+  min(ts) AS first_seen, max(ts) AS last_seen,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+  count(*) AS n_events,
+  string_agg(DISTINCT props, ',' ORDER BY props) AS props_set
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: api_query — the API's filter → sort → paginate surface (§3.3: regex
+# predicate, O3 sort, O4 exact pagination — overscan X13 removed).
+
+def q_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_orderpriority").rlike("(?i)urgent")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+SQL_API_QUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND regexp_matches(o_orderpriority, '(?i)urgent')
+ORDER BY o_totalprice DESC, o_orderkey ASC
+OFFSET 100 LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_exact — A1/A2/A4 whole-row dedup as distinct projection.
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey", "l_suppkey").distinct()
+
+
+SQL_DEDUP_EXACT = """
+SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: join_enrich — J1-style enrichment as a broadcast-dim star join
+# (lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region), revenue per region.
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _round2(F.sum(revenue)).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT r_name, n_name,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: counters — A3 conditional counters (internal/external link counting
+# shape): per-order split counts rolled up by priority.
+
+def q_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0)).alias("discounted"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).alias("full_price"),
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("discounted").alias("discounted_items"),
+            F.sum("full_price").alias("full_price_items"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_COUNTERS = """
+WITH per_order AS (
+  SELECT l_orderkey,
+    sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS discounted,
+    sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS full_price
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+  CAST(sum(discounted) AS BIGINT) AS discounted_items,
+  CAST(sum(full_price) AS BIGINT) AS full_price_items,
+  count(*) AS n_orders
+FROM per_order JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_k_per_group — O3/O4 pagination generalized: windowed top-k.
+
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+                "l_extendedprice", "rn")
+    )
+
+
+SQL_TOP_K_PER_GROUP = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+  row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+FROM lineitem
+QUALIFY rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: url_parse — the URL kernel (P1-P4, P8) at scale: construct a URL per
+# customer row, then recover every part with the engine's parsers. The
+# oracle reconstructs the expected parts arithmetically — so a parser
+# regression on any row fails the hash.
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.functions import urltools as U
+
+    c = load(spark, sf_dir, "customer")
+    scheme = F.when(F.col("c_custkey") % 3 == 0, "http").otherwise("https")
+    sub = F.when(F.col("c_custkey") % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    query = F.when(F.col("c_custkey") % 5 == 0, F.lit("utm_source=feed")) \
+             .otherwise(F.concat(F.lit("id="), F.col("c_custkey")))
+    url = F.concat(
+        scheme, F.lit("://"), sub, F.lit("cust"), F.col("c_custkey"),
+        F.lit(".example.co.uk/seg/"), F.lower(F.col("c_mktsegment")),
+        F.lit("?"), query,
+    )
+    df = c.select("c_custkey", url.alias("url"))
+    return df.select(
+        "c_custkey",
+        U.scheme_code(U.url_scheme(F.col("url"))).alias("scheme_code"),
+        U.url_host(F.col("url")).alias("host"),
+        U.url_path(F.col("url")).alias("path"),
+        U.url_raw_query(F.col("url")).alias("raw_query"),
+        U.etld_plus_one(U.url_host(F.col("url"))).alias("domain"),
+        U.subdomain(
+            U.url_host(F.col("url")),
+            U.etld_plus_one(U.url_host(F.col("url"))),
+        ).alias("sub_domain"),
+    )
+
+
+SQL_URL_PARSE = """
+SELECT c_custkey,
+  CASE WHEN c_custkey % 3 = 0 THEN '1' ELSE '2' END AS scheme_code,
+  (CASE WHEN c_custkey % 2 = 0 THEN 'www.' ELSE '' END)
+    || 'cust' || c_custkey || '.example.co.uk' AS host,
+  '/seg/' || lower(c_mktsegment) AS path,
+  CASE WHEN c_custkey % 5 = 0 THEN '' ELSE 'id=' || c_custkey END AS raw_query,
+  'example.co.uk' AS domain,
+  (CASE WHEN c_custkey % 2 = 0 THEN 'www.' ELSE '' END)
+    || 'cust' || c_custkey AS sub_domain
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: window_running — running totals + lag gaps (window-function surface
+# the rebuild uses for A5/A6, SURVEY §2.9).
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _round2(F.sum(_dec("value", 2)).over(run)).alias("running_total"),
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_seconds"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id, ts,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+    AS running_total,
+  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_seconds
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: sessionize — gap-based sessionization (lag + cumulative flag), the
+# batch shape of streaming session windows.
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(run)
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        _round2(F.sum(_dec("value", 2))).alias("session_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_exact_docs — exact document dedup by content (hash-groupBy
+# shape): keeper = lowest doc_id per identical text.
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    ).select("keeper_doc_id", "n_copies")
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "compaction_merge": QuerySpec(q_compaction_merge, SQL_COMPACTION_MERGE),
+    "api_merge": QuerySpec(q_api_merge, SQL_API_MERGE),
+    "api_query": QuerySpec(q_api_query, SQL_API_QUERY),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "join_enrich": QuerySpec(q_join_enrich, SQL_JOIN_ENRICH),
+    "counters": QuerySpec(q_counters, SQL_COUNTERS),
+    "top_k_per_group": QuerySpec(q_top_k_per_group, SQL_TOP_K_PER_GROUP),
+    "url_parse": QuerySpec(q_url_parse, SQL_URL_PARSE),
+    "window_running": QuerySpec(q_window_running, SQL_WINDOW_RUNNING),
+    "sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
+    "dedup_exact_docs": QuerySpec(q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,58 @@
+"""Partitioned parquet serving table — the engine's replacement for the
+reference's MongoDB collection + index (K4; cmd/storelinks/main.go:84-176,
+SURVEY §1.4).
+
+The reference serves every query through a Mongo index on
+``linkdomain``; here the serving table is hash-bucketed on ``link_domain``
+into a partition column, so a domain-equality query prunes to one
+directory — O(table/N) scan instead of O(table), no index to maintain, and
+the bucket count scales the layout to 100 TB (buckets=1024 → ~100 GB per
+bucket directory, each internally splittable by parquet row groups).
+
+Bucketing by hash (not by first letter) keeps Zipfian domain skew from
+concentrating hot domains in one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 256
+_BUCKET_COL = "domain_bucket"
+
+
+def domain_bucket(domain: F.Column, buckets: int = DEFAULT_BUCKETS) -> F.Column:
+    return F.pmod(F.xxhash64(F.lower(domain)), F.lit(buckets)).cast("int")
+
+
+def write_serving_table(
+    df: DataFrame, path: str, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Write compacted link rows partitioned by domain bucket. Rows are
+    pre-shuffled to the partition column so each task writes one directory
+    (avoids the many-small-files explosion of partitionBy on unsorted
+    input)."""
+    (
+        df.withColumn(_BUCKET_COL, domain_bucket(F.col("link_domain"), buckets))
+        .repartition(buckets, _BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def read_serving_table(
+    spark: SparkSession, path: str, domain: str | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Read the serving table; with ``domain`` given, add the bucket
+    predicate so Catalyst partition-prunes to a single directory before
+    the row-level domain filter."""
+    df = spark.read.parquet(path)
+    if domain is not None:
+        df = df.filter(
+            (F.col(_BUCKET_COL) == domain_bucket(F.lit(domain.lower()), buckets))
+            & (F.col("link_domain") == domain.lower())
+        )
+    return df.drop(_BUCKET_COL)

@@ -1,0 +1,78 @@
+"""WAT archive source (S3 + S4 of SURVEY §2.1).
+
+The reference streams each ``.warc.wat.gz`` with a 5 MiB line buffer and
+assembles 2-line records — a ``WARC-Target-URI`` header line plus a JSON
+envelope line (/root/reference/pkg/commoncrawl/wat.go:249-394). In Spark the
+same data arrives as ``spark.read.text`` (gzip transparently decoded, one
+task per WAT file — the unit of parallelism the reference gets from one
+goroutine per file, cmd/importer/main.go:272-291). Record assembly is
+unnecessary: the target URI is also inside the JSON envelope
+(``Envelope.WARC-Header-Metadata.WARC-Target-URI``), so we parse only JSON
+lines with an explicit schema — ``from_json`` with the ~10 needed paths is
+the columnar analogue of the reference's gjson path extraction
+(readPageContent, wat.go:397-445; SURVEY §4 X4/X8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from globallinks_spark.schemas import WAT_ENVELOPE_SCHEMA
+
+def _line_looks_like_record() -> "F.Column":
+    """Cheap pre-parse gate, mirroring the reference's line filter: a record
+    line starts with '{' and must mention href at all to carry links
+    (wat.go:321 `strings.HasPrefix(line, "{") && strings.Contains(line,
+    "href")`)."""
+    return F.col("value").startswith("{") & F.col("value").contains("href")
+
+
+def read_wat_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """One row per crawled page: (target_uri, warc_date, warc_ip, title,
+    metas, head_links, links) — links still nested, exploded downstream.
+
+    The string-level filter runs before ``from_json`` so non-record lines
+    never pay JSON parsing (the reference's early-filter ordering, SURVEY
+    §4 X3 — Catalyst keeps both filters in one WholeStageCodegen stage).
+    """
+    raw = spark.read.text(paths)
+    env = (
+        raw.filter(_line_looks_like_record())
+        .select(F.from_json("value", WAT_ENVELOPE_SCHEMA).alias("e"))
+        .select("e.Envelope.*")
+    )
+    meta = F.col("`WARC-Header-Metadata`")
+    html = F.col(
+        "`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`"
+    )
+    return env.select(
+        meta.getField("WARC-Target-URI").alias("target_uri"),
+        meta.getField("WARC-Date").alias("warc_date"),
+        meta.getField("WARC-IP-Address").alias("warc_ip"),
+        html.getField("Head").getField("Title").alias("title"),
+        html.getField("Head").getField("Metas").alias("metas"),
+        html.getField("Head").getField("Link").alias("head_links"),
+        html.getField("Links").alias("links"),
+    ).filter(F.col("target_uri").isNotNull() & F.col("links").isNotNull())
+
+
+def segment_of_path(path_col) -> "F.Column":
+    """Derive the segment id from a Common Crawl WAT path — element 3 of
+    'crawl-data/CC-MAIN-.../segments/<segment>/wat/...' (S1; the manifest
+    grouping of InitImport, wat.go:174-180)."""
+    return F.split(path_col, "/").getItem(3)
+
+
+def wat_manifest(spark: SparkSession, paths_file: str) -> DataFrame:
+    """S1 — read a (downloaded) ``wat.paths`` manifest into
+    (wat_path, segment, file_number); the driver-side work queue
+    (InitImport, wat.go:147-218) becomes a plain DataFrame."""
+    from globallinks_spark.functions.urltools import wat_file_number
+
+    df = spark.read.text(paths_file).withColumnRenamed("value", "wat_path")
+    return df.select(
+        "wat_path",
+        segment_of_path(F.col("wat_path")).alias("segment"),
+        wat_file_number(F.col("wat_path")).alias("file_number"),
+    )

@@ -1,0 +1,116 @@
+"""Golden end-to-end extraction test (SURVEY §5 item b, §7.2 minimum slice)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from globallinks_spark.operators import extract
+from globallinks_spark.sources.wat import read_wat_pages
+from tests.fixtures import write_wat_file
+
+
+@pytest.fixture(scope="module")
+def links(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("wat") / "test-00000.warc.wat.gz"
+    write_wat_file(str(p))
+    pages = read_wat_pages(spark, str(p))
+    return extract.extract_links(pages).collect()
+
+
+def _by_key(rows):
+    return {
+        (r.link_domain, r.link_sub_domain, r.link_path, r.page_host): r
+        for r in rows
+    }
+
+
+class TestGoldenExtraction:
+    def test_row_count(self, links):
+        # page1: target-one.org ×2 (bare + www; uppercase dup deduped),
+        #        target-two.net (query blanked), nofollow-target.com
+        # page2: target-one.org, target-two.net?x=1
+        # page5: target-three.io (page-level nofollow)
+        assert len(links) == 7
+
+    def test_dedup_case_insensitive_host(self, links):
+        # TARGET-ONE.org normalizes to target-one.org → A2 dedup
+        one = [
+            r for r in links
+            if r.link_domain == "target-one.org" and r.link_sub_domain == ""
+            and r.page_host == "alpha.example.com"
+        ]
+        assert len(one) == 1
+
+    def test_filters_dropped(self, links):
+        domains = {r.link_domain for r in links}
+        assert "facebook.com" not in domains      # F11
+        assert "spam.cn" not in domains           # F10
+        assert "alpha.example.com" not in domains  # F5
+        assert "beta.example.com" not in domains   # F6 (same eTLD+1)
+        assert "i.example.com" not in domains      # F3 non-anchor
+        assert not any(r.link_path.endswith(".jpg") for r in links)  # F12
+
+    def test_noindex_and_canonical_pages_dropped(self, links):
+        hosts = {r.page_host for r in links}
+        assert "noindex.example.org" not in hosts  # F13
+        assert "canon.example.org" not in hosts    # F14
+
+    def test_field_values(self, links):
+        k = _by_key(links)
+        r = k[("target-one.org", "", "/article", "alpha.example.com")]
+        assert r.link_scheme == "2"
+        assert r.page_path == "/posts/1"
+        assert r.page_raw_query == "id=7"
+        assert r.page_scheme == "2"
+        assert r.no_follow == 0
+        assert r.no_index == 0
+        assert r.date_imported == datetime.date(2023, 2, 4)
+        assert r.ip == "10.0.0.1"
+
+    def test_subdomain_split(self, links):
+        r = _by_key(links)[("target-one.org", "www", "/article",
+                            "alpha.example.com")]
+        assert r.link_sub_domain == "www"
+
+    def test_tracking_query_blanked(self, links):
+        r = _by_key(links)[("target-two.net", "", "/a", "alpha.example.com")]
+        assert r.link_raw_query == ""
+
+    def test_kept_query(self, links):
+        r = _by_key(links)[("target-two.net", "", "/a", "gamma.sample.net")]
+        assert r.link_raw_query == "x=1"
+        assert r.page_scheme == "1"  # http page
+
+    def test_rel_nofollow(self, links):
+        r = _by_key(links)[("nofollow-target.com", "", "/x",
+                            "alpha.example.com")]
+        assert r.no_follow == 1
+
+    def test_page_level_nofollow_inherited(self, links):
+        r = _by_key(links)[("target-three.io", "", "/x", "delta.sample.org")]
+        assert r.no_follow == 1
+
+
+class TestPageRows:
+    @pytest.fixture(scope="class")
+    def pages(self, spark, tmp_path_factory):
+        p = tmp_path_factory.mktemp("wat2") / "test-00001.warc.wat.gz"
+        write_wat_file(str(p))
+        return extract.extract_pages(read_wat_pages(spark, str(p))).collect()
+
+    def test_counters(self, pages):
+        by_host = {r.host: r for r in pages}
+        p1 = by_host["alpha.example.com"]
+        # internal: /relative/path + same-host → 2
+        assert p1.internal_links == 2
+        # external: same-domain beta + facebook (blocked) + spam.cn
+        # (quality) + emitted target-one ×2(+dup) + target-two + nofollow
+        # (.jpg counts neither) → 8
+        assert p1.external_links == 8
+
+    def test_dropped_pages_absent(self, pages):
+        hosts = {r.host for r in pages}
+        assert "noindex.example.org" not in hosts
+        assert "canon.example.org" not in hosts
