@@ -32,6 +32,18 @@ BENCH_QUERIES = (
     "sessionize",
     "dedup_exact",
     "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "ann_sign_lsh",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "streaming_window",
+    "asof_join",
 )
 
 

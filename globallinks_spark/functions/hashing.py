@@ -1,0 +1,87 @@
+"""Cross-engine deterministic hashing — the foundation of the dedup family.
+
+Everything downstream (minhash, simhash, LSH bands, fingerprints) needs a
+hash both this engine and the DuckDB oracle compute bit-identically.
+Neither engine's native 64-bit hash matches the other (Spark xxhash64 vs
+DuckDB's internal hash), but both expose md5 of a UTF-8 string as hex, so:
+
+    H60(s) = int64(first 15 hex chars of md5(s))       ∈ [0, 2^60)
+    H30(s) = H60(s) mod 2^30                           ∈ [0, 2^30)
+
+Spark:  conv(substr(md5(s),1,15),16,10) cast bigint
+DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+
+Minhash uses the classic (a·h + b) mod p family over H30 with
+p = 2^31-1; a,b < 2^30 keeps every product under 2^61 — no int64
+overflow on either engine. Parameters are generated from a fixed seed so
+the oracle SQL can inline the same constants.
+
+md5 costs more than xxhash64 per call; at 100 TB swap ``h60`` for
+``F.xxhash64`` (one-line change here) once results no longer need to be
+replayed in a second engine — the operator algebra is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_31 = (1 << 31) - 1  # 2147483647
+H30_MOD = 1 << 30
+
+# 16 minhash permutations → 4 bands × 4 rows (LSH threshold ≈ (1/4)^(1/4) ≈ 0.71
+# per-band, overall s-curve midpoint ≈ 0.55 — tuned for near-dup detection).
+NUM_HASHES = 16
+BAND_SIZE = 4
+NUM_BANDS = NUM_HASHES // BAND_SIZE
+
+_rng = random.Random(0x5EED)
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, H30_MOD), _rng.randrange(0, H30_MOD))
+    for _ in range(NUM_HASHES)
+)
+
+
+def h60(col: Column) -> Column:
+    """60-bit cross-engine hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def h30(col: Column) -> Column:
+    """30-bit variant (safe for modular multiplication in int64)."""
+    return h60(col) % F.lit(H30_MOD)
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB rendering of ``h60`` for oracle SQL."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def h30_sql(expr: str) -> str:
+    return f"({h60_sql(expr)} % {H30_MOD})"
+
+
+def minhash_expr(hashes_col: Column, j: int) -> Column:
+    """j-th minhash of an array<bigint> of H30 shingle hashes."""
+    a, b = MINHASH_PARAMS[j]
+    return F.array_min(
+        F.transform(
+            hashes_col,
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31),
+        )
+    )
+
+
+def minhash_sql(hashes_expr: str, j: int) -> str:
+    a, b = MINHASH_PARAMS[j]
+    return (
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> ({a} * h + {b}) % {MERSENNE_31}))"
+    )
+
+
+def band_key(minhash_cols: list[Column]) -> Column:
+    """Concatenated band key from one band's minhash columns."""
+    return F.concat_ws(":", *[c.cast("string") for c in minhash_cols])

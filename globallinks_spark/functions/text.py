@@ -1,0 +1,155 @@
+"""Text-analysis expression builders for the training-data pipeline:
+tokenization, shingling, language-ID heuristics, quality metrics,
+fingerprints. All pure ``F.*`` column algebra (JVM-side); the DuckDB
+renderings live next to each builder so query oracles stay in lockstep.
+
+Conventions shared with the oracles:
+- words = regex-split on whitespace of lowercased text, empties removed
+- shingles = space-joined k-grams of consecutive words, 1-indexed windows
+- every ratio rounded at the output edge, never mid-computation
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from globallinks_spark.functions.hashing import h30
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately small + disjoint; data, not engine semantics.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "avec"),
+    "es": ("el", "los", "las", "es", "con", "para"),
+    "zh": ("的", "是", "和", "在", "了", "有"),
+}
+
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "with", "as", "for", "on", "was", "are", "be", "this", "by",
+)
+
+# A BPE-ish tokenizer regex: word pieces, numbers, single punctuation.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_REGEX = r"[^\w\s]"
+
+
+def words(text: Column) -> Column:
+    """array<string> of lowercased whitespace tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w != ""
+    )
+
+
+def words_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '\\s+'), "
+        f"w -> w <> '')"
+    )
+
+
+def shingles(words_col: Column, k: int = 3) -> Column:
+    """array<string> of space-joined k-grams (distinct)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - (k - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(words_col, i + off) for off in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def shingles_sql(words_expr: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"w[i+{off}]" for off in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({words_expr}) - {k - 1}, 0) + 1), "
+        f"i -> {parts}))"
+    ).replace("w[", f"{words_expr}[")
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """array<bigint> of H30 hashes of the text's k-gram shingles."""
+    return F.transform(shingles(words(text), k), lambda s: h30(s))
+
+
+def lang_score(words_col: Column, lang: str) -> Column:
+    """Count of marker-stopword occurrences for ``lang``."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(words_col, lambda w: w.isin(*markers)))
+
+
+def lang_score_sql(words_expr: str, lang: str) -> str:
+    lits = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({words_expr}, w -> w IN ({lits})))"
+
+
+def predict_lang(scores: dict[str, Column]) -> Column:
+    """Argmax with deterministic first-wins tie-break in LANG_MARKERS
+    order — the CASE chain renders identically in the oracle."""
+    langs = list(LANG_MARKERS)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs:
+            if other == lang:
+                continue
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            else:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def predict_lang_sql(score_expr: dict[str, str]) -> str:
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = []
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{score_expr[lang]} {op} {score_expr[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"CASE {' '.join(whens)} ELSE '{langs[-1]}' END"
+
+
+def stopword_ratio(words_col: Column) -> Column:
+    """EN stopword fraction (quality signal)."""
+    n = F.size(words_col)
+    hits = F.size(F.filter(words_col, lambda w: w.isin(*EN_STOPWORDS)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_sql(words_expr: str) -> str:
+    lits = ", ".join(f"'{m}'" for m in EN_STOPWORDS)
+    return (
+        f"CASE WHEN len({words_expr}) > 0 THEN "
+        f"CAST(len(list_filter({words_expr}, w -> w IN ({lits}))) AS DOUBLE)"
+        f" / len({words_expr}) ELSE 0.0 END"
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) > 0 THEN "
+        f"CAST(length(regexp_replace({expr}, '[\\w\\s]', '', 'g')) AS DOUBLE)"
+        f" / length({expr}) ELSE 0.0 END"
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_REGEX}'))"

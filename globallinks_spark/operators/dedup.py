@@ -1,0 +1,263 @@
+"""Deduplication family for training-data pipelines: exact, minhash+LSH,
+simhash, n-gram Jaccard. Every operator is DataFrame algebra over the
+cross-engine hash kernel (functions/hashing.py) — no UDFs, no driver loops.
+
+Scale design (the part that matters at 100 TB):
+- signatures are computed as *array expressions* on each row — no row
+  explosion for the 16 hash functions;
+- LSH candidates come from an equi-join on (band, band_key) — the only
+  shuffle, keyed so each bucket is tiny; all-pairs comparison never
+  happens;
+- exact-Jaccard verification explodes shingle hashes *only for candidate
+  pairs* (semi-join pushes the candidate filter into the explode);
+- group sizes under LSH are bounded; a pathological hot bucket (all-equal
+  documents) is exactly the case where dedup wants the full group anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from globallinks_spark.functions import hashing as H
+from globallinks_spark.functions import text as TX
+
+
+def with_shingle_hashes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle_hashes array<bigint>) — the shared dedup input.
+
+    Staged through named columns (words → shingles → hashes) so each
+    level evaluates once per row; inlining ``words(text)`` into the three
+    ``element_at`` calls of every k-gram makes tokenization quadratic in
+    document length (measured 30× slower). The repartition spreads the
+    hash-heavy scan across cores — small parquet inputs otherwise arrive
+    as a single partition and serialize the whole corpus onto one task.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("doc_id"),
+                TX.words(F.col(text_col)).alias("w"))
+        .select("doc_id", TX.shingles(F.col("w"), k).alias("sh"))
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: TX.h30(s)).alias("hashes"),
+        )
+        # deliberately NO size()>0 filter here: predicate pushdown would
+        # inline the whole words→shingles→md5 pipeline into the predicate
+        # and sink it below the exchange — the entire corpus then hashes
+        # twice on the unsplittable single-task scan (measured 6×
+        # slower). Empty arrays are harmless downstream: explode() drops
+        # them; minhash callers filter after a persist barrier.
+    )
+
+
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """(doc_id, mh_0 … mh_{15}) — one row per doc, no explosion."""
+    cols = [
+        H.minhash_expr(F.col("hashes"), j).alias(f"mh_{j}")
+        for j in range(H.NUM_HASHES)
+    ]
+    return shingled.select("doc_id", *cols)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs agreeing on at least one LSH band.
+
+    Bands unpivot into (doc_id, band, key); the self-equi-join on
+    (band, key) is the only shuffle and never compares across buckets.
+    """
+    band_cols = []
+    for b in range(H.NUM_BANDS):
+        key = H.band_key(
+            [F.col(f"mh_{b * H.BAND_SIZE + r}") for r in range(H.BAND_SIZE)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(shingled_a: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for the given pairs.
+
+    Explodes shingle hashes once, semi-joined to docs appearing in pairs,
+    so verification cost is proportional to candidates, not corpus.
+    """
+    docs_in_pairs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    exploded = (
+        shingled_a.join(docs_in_pairs, "doc_id", "left_semi")
+        .select("doc_id", F.explode("hashes").alias("h"))
+        .distinct()
+        .persist()  # read by sizes + both legs of the intersection join
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    ea = exploded.alias("ea")
+    eb = exploded.alias("eb")
+    inter = (
+        pairs.join(ea, pairs.doc_a == F.col("ea.doc_id"))
+        .join(
+            eb,
+            (pairs.doc_b == F.col("eb.doc_id"))
+            & (F.col("ea.h") == F.col("eb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("sa.n") + F.col("sb.n")
+                   - F.coalesce(F.col("n_inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥
+    threshold. The full minhash→band→bucket-join→verify pipeline.
+
+    ``shingled`` feeds both the signature branch and the verification
+    branch (which itself self-joins), so it is persisted — without it the
+    tokenize+md5 scan re-executes once per downstream join leg (~6× work;
+    measured 4.7× slower at sf0.1). At warehouse scale this persist
+    becomes a materialized shingle table."""
+    shingled = with_shingle_hashes(docs, k=k).persist()
+    # size filter sits ABOVE the cache barrier so it can't push down into
+    # the expensive hash scan (see with_shingle_hashes)
+    shingled = shingled.filter(F.size("hashes") > 0)
+    sigs = minhash_signatures(shingled)
+    cands = lsh_candidate_pairs(sigs)
+    jac = exact_jaccard(shingled, cands)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """Ground-truth all-pairs n-gram Jaccard ≥ threshold via shingle
+    inverted index (explode → self-join on shingle → count). Quadratic
+    only within identical-shingle groups — the exact-verification
+    baseline LSH is measured against."""
+    shingled = with_shingle_hashes(docs, k=k)
+    exploded = shingled.select(
+        "doc_id", F.explode("hashes").alias("h")
+    ).distinct().persist()  # feeds sizes + both self-join legs
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    ea = exploded.alias("ea")
+    eb = exploded.alias("eb")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ea.h") == F.col("eb.h"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .groupBy(
+            F.col("ea.doc_id").alias("doc_a"),
+            F.col("eb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — per-token H30 bit votes weighted by term
+    frequency; bit i of the result is the sign of the vote sum.
+
+    Token frequencies and votes are computed by exploding tokens
+    (one shuffle on (doc, token)), then ``bits`` bit-positions unpivot —
+    a constant 16× fan-out on the *distinct-token* frame, not the corpus.
+    """
+    from globallinks_spark.functions.hashing import h30
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(TX.words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", h30(F.col("w")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select("doc_id", "tf", "h", bit)
+        .withColumn(
+            "vote",
+            # the PySpark shiftright/shiftleft wrappers only take literal
+            # bit counts; the SQL functions accept column expressions
+            F.when(
+                F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
+        ).cast("bigint").alias("simhash")
+    )
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Documents sharing an identical simhash (hamming-0 groups). For
+    hamming ≤ k at scale, band the fingerprint into k+1 segments and
+    equi-join per segment (same LSH shape as minhash bands)."""
+    sh = simhash(docs, bits)
+    return (
+        sh.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -491,6 +491,14 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
+# extension operators (dedup / similarity / text / multimodal / streaming /
+# as-of) register themselves on import — late import avoids a cycle since
+# queries_ext needs QuerySpec from this module
+from globallinks_spark.queries_ext import EXT_REGISTRY  # noqa: E402
+
+REGISTRY.update(EXT_REGISTRY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

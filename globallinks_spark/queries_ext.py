@@ -1,0 +1,459 @@
+"""Extension query catalog — the training-data pipeline operators
+(dedup family, similarity search, text analysis, multimodal, streaming,
+as-of join), each exposed as (Spark fn, DuckDB oracle) like queries.py.
+
+The minhash/simhash oracles reproduce the exact hash arithmetic through
+the cross-engine md5 kernel (functions/hashing.py), so even the LSH
+candidate sets match value-for-value — the oracle is not a weaker
+approximation of the operator, it IS the operator in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from globallinks_spark.functions import hashing as H
+from globallinks_spark.functions import text as TX
+from globallinks_spark.functions import vectors as V
+from globallinks_spark.queries import QuerySpec, load
+
+# Shared oracle CTE: documents → words → distinct 3-gram shingles → H30
+# hashes (mirrors operators.dedup.with_shingle_hashes).
+_SQL_SHINGLE_CTE = f"""
+w AS (
+  SELECT doc_id, {TX.words_sql('text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(w) - 2, 0) + 1),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM w
+), hs AS (
+  SELECT doc_id, list_transform(sh, s -> {H.h30_sql('s')}) AS hashes
+  FROM sh WHERE len(sh) > 0
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_minhash_lsh — shingle → minhash → LSH band bucket-join →
+# exact-Jaccard verify (operators/dedup.minhash_dedup_pairs).
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _sql_minhash_lsh() -> str:
+    sig_cols = ",\n    ".join(
+        f"{H.minhash_sql('hashes', j)} AS mh_{j}" for j in range(H.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh_{b * H.BAND_SIZE + r} AS VARCHAR)"
+                for r in range(H.BAND_SIZE)
+            ),
+        )
+        for b in range(H.NUM_BANDS)
+    )
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM hs
+), bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), ex AS (
+  SELECT DISTINCT doc_id, unnest(hashes) AS h FROM hs
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_ngram_jaccard — exact all-pairs n-gram Jaccard (ground truth
+# for LSH recall; operators/dedup.ngram_jaccard_pairs).
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (
+  SELECT DISTINCT doc_id, unnest(hashes) AS h FROM hs
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: simhash_fingerprint — 16-bit tf-weighted simhash per document.
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+SQL_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id, {TX.words_sql('text')} AS w FROM documents
+), toks AS (
+  SELECT doc_id, x AS tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS x FROM w)
+  GROUP BY doc_id, x
+), th AS (
+  SELECT doc_id, tf, {H.h30_sql('tok')} AS h FROM toks
+), votes AS (
+  SELECT doc_id, bit,
+    sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding_cosine_topk — exact brute-force ANN baseline: top-10 by
+# cosine against the vec_id=0 embedding.
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, qvec, k=10)
+
+
+SQL_EMBEDDING_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, round({V.cosine_sql('embedding', 'qv')}, 4) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding_near_dup — cosine near-duplicate pairs, blocked by label
+# (the blocking key bounds the self-join; threshold tuned to the synthetic
+# corpus which has no true dups — 0.35 surfaces the closest pairs).
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.35,
+        partition_col="label",
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round({V.cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: ann_sign_lsh — bucketed ANN: top-5 within the query's sign-LSH bucket.
+
+def q_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return bucketed_topk(emb, qvec, k=5, bits=8)
+
+
+SQL_ANN_SIGN_LSH = f"""
+WITH q AS (
+  SELECT embedding AS qv, {V.sign_bucket_sql('embedding')} AS qb
+  FROM embeddings WHERE vec_id = 0
+), cands AS (
+  SELECT vec_id, embedding, qv FROM embeddings, q
+  WHERE {V.sign_bucket_sql('embedding')} = qb
+)
+SELECT vec_id, round({V.cosine_sql('embedding', 'qv')}, 4) AS cosine
+FROM cands ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text_quality — length / token / punctuation / stopword metrics and a
+# composite keep-flag (the quality-scoring stage of a data pipeline).
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    n_words = F.size(w)
+    sw = TX.stopword_ratio(w)
+    pr = TX.punct_ratio(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_words.alias("n_words"),
+        TX.bpe_token_count(F.col("text")).alias("n_tokens"),
+        F.round(pr, 4).alias("punct_ratio"),
+        F.round(sw, 4).alias("stopword_ratio"),
+        F.when(
+            (n_words >= 5) & (n_words <= 5000) & (pr < 0.3) & (sw > 0.0), 1
+        ).otherwise(0).alias("keep"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {TX.words_sql('text')} AS w FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(w) AS n_words,
+  {TX.bpe_token_count_sql('text')} AS n_tokens,
+  round({TX.punct_ratio_sql('text')}, 4) AS punct_ratio,
+  round({TX.stopword_ratio_sql('w')}, 4) AS stopword_ratio,
+  CASE WHEN len(w) >= 5 AND len(w) <= 5000
+        AND {TX.punct_ratio_sql('text')} < 0.3
+        AND {TX.stopword_ratio_sql('w')} > 0.0
+       THEN 1 ELSE 0 END AS keep
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: lang_id — marker-stopword language identification vs the labeled
+# ``lang`` column.
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    base = d.select("doc_id", "lang", w.alias("w"))
+    scores = {
+        lang: TX.lang_score(F.col("w"), lang) for lang in TX.LANG_MARKERS
+    }
+    out = base.select(
+        "doc_id",
+        *[scores[lang].alias(f"s_{lang}") for lang in TX.LANG_MARKERS],
+        TX.predict_lang(scores).alias("predicted"),
+        "lang",
+    )
+    return out.withColumn(
+        "is_correct", F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+    )
+
+
+def _sql_lang_id() -> str:
+    score_exprs = {
+        lang: TX.lang_score_sql("w", lang) for lang in TX.LANG_MARKERS
+    }
+    score_cols = ",\n  ".join(
+        f"{score_exprs[lang]} AS s_{lang}" for lang in TX.LANG_MARKERS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {TX.words_sql('text')} AS w FROM documents
+)
+SELECT doc_id,
+  {score_cols},
+  {TX.predict_lang_sql(score_exprs)} AS predicted,
+  lang,
+  CASE WHEN {TX.predict_lang_sql(score_exprs)} = lang THEN 1 ELSE 0 END
+    AS is_correct
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: doc_fingerprint — content hash + first minhash component (the cheap
+# per-document identity pair used for incremental dedup).
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hashes = TX.shingle_hashes(F.col("text"))
+    return d.select(
+        "doc_id",
+        H.h60(F.col("text")).alias("content_hash"),
+        H.minhash_expr(hashes, 0).alias("minhash_0"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {_SQL_SHINGLE_CTE}
+SELECT d.doc_id,
+  {H.h60_sql('d.text')} AS content_hash,
+  {H.minhash_sql('hs.hashes', 0)} AS minhash_0
+FROM documents d LEFT JOIN hs ON hs.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: multimodal_meta — binary-payload metadata extraction via
+# Arrow-batched mapInPandas (operators/multimodal.py). The oracle
+# recomputes the deterministic fake features in SQL.
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.multimodal import (
+        extract_media_meta,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return extract_media_meta(d)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+  'image/fake' AS media_type,
+  octet_length(encode(text)) AS n_bytes,
+  CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END
+    AS first_byte,
+  substr(md5(text), 1, 8) AS checksum_prefix
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: streaming_window — tumbling-window counts (batch plan of the
+# streaming aggregation; the streaming path itself is tested in tests/).
+
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.streaming.ingest import windowed_event_counts
+
+    return windowed_event_counts(load(spark, sf_dir, "events"), "1 hour")
+
+
+SQL_STREAMING_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: asof_join — each event matched to the user's latest order at or
+# before the event time. Spark lacks a native as-of join; the engine's
+# implementation is the union+window carry-forward (one shuffle on the
+# user key, no range explosion); the oracle uses DuckDB's native ASOF.
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    # right side deduped per (user, time): keep max orderkey
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    orders1 = (
+        o.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+
+    o_rows = orders1.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("pri"),
+        "o_orderkey", "o_totalprice",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    e_rows = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("pri"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+        "ts",
+    )
+    unioned = o_rows.unionByName(e_rows)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "pri", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "user_id", "pri", "event_id", "ts",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("o_totalprice"),
+    )
+    return carried.filter(F.col("pri") == 1).select(
+        "event_id", "user_id", "ts", "o_orderkey", "o_totalprice"
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
+FROM events e
+ASOF LEFT JOIN o1
+  ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+"""
+
+
+EXT_REGISTRY: dict[str, QuerySpec] = {
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _sql_minhash_lsh()),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash_fingerprint": QuerySpec(q_simhash_fingerprint, SQL_SIMHASH),
+    "embedding_cosine_topk": QuerySpec(
+        q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK
+    ),
+    "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
+    "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+    "streaming_window": QuerySpec(q_streaming_window, SQL_STREAMING_WINDOW),
+    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
+}

@@ -15,11 +15,15 @@ concentrating hot domains in one partition.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 256
 _BUCKET_COL = "domain_bucket"
+_META_FILE = "_serving_meta.json"
 
 
 def domain_bucket(domain: F.Column, buckets: int = DEFAULT_BUCKETS) -> F.Column:
@@ -40,15 +44,34 @@ def write_serving_table(
         .partitionBy(_BUCKET_COL)
         .parquet(path)
     )
+    # persist the bucket count next to the data: a reader probing with a
+    # different modulus would prune to the wrong partition and silently
+    # return nothing — the layout parameter belongs to the table, not the
+    # caller
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"buckets": buckets, "bucket_col": _BUCKET_COL}, f)
+
+
+def table_buckets(path: str) -> int:
+    """Bucket count recorded at write time (falls back to the default for
+    tables written before the sidecar existed)."""
+    meta = os.path.join(path, _META_FILE)
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(json.load(f)["buckets"])
+    return DEFAULT_BUCKETS
 
 
 def read_serving_table(
     spark: SparkSession, path: str, domain: str | None = None,
-    buckets: int = DEFAULT_BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Read the serving table; with ``domain`` given, add the bucket
     predicate so Catalyst partition-prunes to a single directory before
-    the row-level domain filter."""
+    the row-level domain filter. ``buckets`` defaults to the table's own
+    recorded layout."""
+    if buckets is None:
+        buckets = table_buckets(path)
     df = spark.read.parquet(path)
     if domain is not None:
         df = df.filter(

@@ -1,0 +1,72 @@
+"""Streaming ingest & windowed aggregation.
+
+The reference restarts idempotently by checking output-file existence
+(/root/reference/cmd/importer/main.go:227-234, wat.go:1053-1062). The
+Spark-native equivalents, strongest first:
+
+1. ``stream_ingest`` — file-source Structured Streaming with
+   ``Trigger.AvailableNow`` + checkpoint: exactly-once over whatever
+   files appeared since the last run, then stops. This *is* the
+   reference's checkpoint-recovery loop with the bookkeeping moved into
+   Spark's commit log.
+2. ``windowed_event_counts`` — watermarked tumbling-window aggregation,
+   the streaming shape of the engine's A-class aggregates; late rows
+   beyond the watermark drop instead of corrupting closed windows.
+
+Both run against the same transformations as batch (the DataFrame plan
+is identical either way — that's the point of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    out_dir: str,
+    transform=None,
+) -> None:
+    """Incrementally ingest new parquet files from ``src_dir`` into
+    ``out_dir``, applying ``transform`` (DataFrame → DataFrame). Each call
+    processes only files the checkpoint hasn't seen — rerun-safe."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if transform is not None:
+        stream = transform(stream)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type counts/sums with late-data watermark.
+    ``events`` may be a streaming OR batch frame — same plan."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )

@@ -1,0 +1,137 @@
+"""Dedup-family and similarity-search operator tests: LSH guarantees,
+Jaccard correctness on hand-built corpora, ANN vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globallinks_spark.operators import dedup as D
+from globallinks_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base),                 # exact dup → J = 1.0
+        (2, base + " again"),      # near dup → J = 11/12 ≈ 0.92
+        (3, "completely different text about spark engines and shuffles "
+            "with many unrelated words in the mix"),
+        (4, base + " and then some extra trailing words appended here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestMinhashLSH:
+    def test_exact_dup_is_candidate_and_jaccard_one(self, docs):
+        out = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        assert out[(0, 1)] == 1.0
+
+    def test_near_dup_found(self, docs):
+        # J ≈ 0.92 → any-band hit probability ≈ 0.99; deterministic with
+        # the fixed MINHASH_PARAMS seed
+        out = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        assert out[(0, 2)] == 0.9167
+
+    def test_unrelated_not_paired(self, docs):
+        out = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        assert not any(3 in pair for pair in out)
+
+    def test_lsh_candidates_superset_of_high_jaccard(self, docs):
+        # identical signatures must always collide on every band
+        sigs = D.minhash_signatures(D.with_shingle_hashes(docs))
+        cands = {
+            (r.doc_a, r.doc_b)
+            for r in D.lsh_candidate_pairs(sigs).collect()
+        }
+        assert (0, 1) in cands
+
+
+class TestNgramJaccard:
+    def test_matches_manual(self, spark):
+        rows = [(0, "a b c d"), (1, "a b c e")]
+        # shingles: {abc, bcd} vs {abc, bce} → J = 1/3
+        out = D.ngram_jaccard_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            threshold=0.0,
+        ).collect()
+        assert len(out) == 1
+        assert out[0].jaccard == round(1 / 3, 4)
+
+    def test_ground_truth_superset_of_lsh(self, docs):
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert lsh <= exact
+
+
+class TestSimhash:
+    def test_identical_texts_same_hash(self, docs):
+        sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+        assert sh[0] == sh[1]
+        assert 0 <= sh[0] < (1 << 16)
+
+    def test_near_texts_close_hamming(self, docs):
+        sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+        ham = bin(sh[0] ^ sh[2]).count("1")
+        assert ham <= 6  # one word changed out of 13
+
+    def test_dup_groups(self, docs):
+        groups = D.simhash_dup_groups(docs).collect()
+        assert any(g.n_docs >= 2 and g.keeper_doc_id == 0 for g in groups)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite
+        (4, [1.0, 0.01, 0.0, 0.0], 1),  # very close to 0
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+class TestSimilarity:
+    def test_topk_order(self, embeddings):
+        out = S.cosine_topk(embeddings, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        assert [r.vec_id for r in out] == [0, 4, 1]
+        assert out[0].cosine == 1.0
+
+    def test_bucketed_topk_excludes_other_bucket(self, embeddings):
+        # vec 3 has negative first component → different sign bucket
+        out = S.bucketed_topk(embeddings, [1.0, 0.0, 0.0, 0.0], k=5, bits=4)
+        ids = [r.vec_id for r in out.collect()]
+        assert 3 not in ids
+        assert 0 in ids
+
+    def test_near_dup_pairs_blocked_by_label(self, embeddings):
+        out = S.near_dup_pairs(embeddings, threshold=0.9).collect()
+        pairs = {(r.vec_a, r.vec_b) for r in out}
+        assert (0, 1) in pairs          # same label, cosine ≈ 0.994
+        assert (0, 4) not in pairs      # cosine ≈ 1 but different label
+
+    def test_near_dup_allpairs_when_unblocked(self, embeddings):
+        out = S.near_dup_pairs(
+            embeddings, threshold=0.9, partition_col=None
+        ).collect()
+        assert (0, 4) in {(r.vec_a, r.vec_b) for r in out}

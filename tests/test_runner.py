@@ -1,0 +1,80 @@
+"""End-to-end pipeline: WAT fixture → import → compact → serving table →
+query (the reference's importer|storelinks|linksapi chain, §7.2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from globallinks_spark.operators.linkdb import LinkQuery
+from globallinks_spark.runner import (
+    query_links,
+    run_compact,
+    run_import,
+    run_store,
+)
+from tests.fixtures import write_wat_file
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("pipeline")
+    wat = str(base / "seg-00000.warc.wat.gz")
+    write_wat_file(wat)
+    out = str(base / "out")
+    serving = str(base / "serving")
+    run_import(spark, [wat], out, segment="s1", save_pages=True)
+    run_compact(spark, out, segment="s1")
+    run_store(spark, out, serving, buckets=8)
+    return out, serving
+
+
+class TestPipeline:
+    def test_links_written(self, spark, pipeline_dirs):
+        out, _ = pipeline_dirs
+        links = spark.read.parquet(os.path.join(out, "links"))
+        assert links.count() == 7
+
+    def test_compact_grain(self, spark, pipeline_dirs):
+        out, _ = pipeline_dirs
+        compact = spark.read.parquet(os.path.join(out, "compact"))
+        rows = compact.collect()
+        # target-one.org/article is linked from two pages → two groups
+        # (page_host in the key); each compacted row qty ≥ 1
+        assert all(r.qty >= 1 for r in rows)
+        assert all(r.date_from <= r.date_to for r in rows)
+
+    def test_idempotent_restart(self, spark, pipeline_dirs, monkeypatch):
+        out, _ = pipeline_dirs
+        # second run must skip (would fail loudly if it re-read the
+        # deleted WAT path)
+        run_import(spark, ["/nonexistent.wat.gz"], out, segment="s1")
+
+    def test_query_end_to_end(self, spark, pipeline_dirs):
+        _, serving = pipeline_dirs
+        out = query_links(
+            spark, serving, LinkQuery(domain="target-one.org")
+        ).collect()
+        assert len(out) >= 2
+        assert all("target-one.org" in r.link_url for r in out)
+        ips = {ip for r in out for ip in r.ip}
+        assert "10.0.0.1" in ips
+
+    def test_query_subdomain(self, spark, pipeline_dirs):
+        _, serving = pipeline_dirs
+        out = query_links(
+            spark, serving, LinkQuery(domain="www.target-one.org")
+        ).collect()
+        assert len(out) == 1
+        assert out[0].link_url.startswith("https://www.target-one.org")
+
+    def test_partition_pruning(self, spark, pipeline_dirs):
+        _, serving = pipeline_dirs
+        from globallinks_spark.sources.serving import read_serving_table
+
+        plan = read_serving_table(
+            spark, serving, domain="target-one.org", buckets=8
+        )._jdf.queryExecution().executedPlan().toString()
+        # the bucket predicate must reach the scan as partition pruning
+        assert "domain_bucket" in plan
