@@ -1,0 +1,74 @@
+"""Physical-plan assertions.
+
+A plan that is correct but mis-shaped (full scan instead of pruned read,
+sort-merge join where a broadcast fits, Python eval in the hot path)
+passes every value test and then dies at 100 TB. These helpers make the
+desired physical properties testable so regressions in plan shape fail
+CI like value regressions do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE-planning) physical plan string."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear in a parquet PushedFilters list."""
+    plan = plan_string(df)
+    for frag in fragments:
+        assert frag in plan, (
+            f"expected pushed filter {frag!r}; plan:\n{plan}"
+        )
+
+
+def assert_read_schema_only(df: DataFrame, *columns: str) -> None:
+    """The parquet ReadSchema must contain exactly these columns —
+    column pruning reached the scan."""
+    plan = plan_string(df)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"no parquet ReadSchema in plan:\n{plan}"
+    read_cols = {
+        c.split(":")[0].strip() for s in schemas for c in s.split(",") if c
+    }
+    assert read_cols == set(columns), (
+        f"scan reads {sorted(read_cols)}, wanted {sorted(columns)}"
+    )
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    return plan_string(df).count("BroadcastHashJoin")
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Exchanges in the plan (reused exchanges counted once)."""
+    plan = plan_string(df)
+    return plan.count("Exchange ") - plan.count("ReusedExchange")
+
+
+def codegen_subtrees(df: DataFrame) -> int | None:
+    """Number of WholeStageCodegen subtrees, or None when AQE defers
+    stage planning to runtime (the pre-execution adaptive plan always
+    reports 0 — codegen happens per query stage). For a definitive
+    check, build the plan in a session with
+    ``spark.sql.adaptive.enabled=false``."""
+    s = plan_string(df, "codegen")
+    import re
+
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", s)
+    n = int(m.group(1)) if m else 0
+    if n == 0 and "AdaptiveSparkPlan" in plan_string(df, "simple"):
+        return None
+    return n

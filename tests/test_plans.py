@@ -1,0 +1,109 @@
+"""Plan-shape regression tests: the physical properties that keep the
+engine viable at 100 TB, asserted like value tests (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from globallinks_spark.plans.explain import (
+    assert_read_schema_only,
+    codegen_subtrees,
+    count_broadcast_joins,
+    count_shuffles,
+    plan_string,
+)
+from globallinks_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark_noaqe(spark):
+    """The shared session with AQE toggled off (dynamic SQL conf):
+    codegen/stage counts are deterministic pre-execution only without
+    AQE, which defers stage planning to runtime. A separate session
+    would not work — getOrCreate ignores configs once a session exists."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+class TestScanEfficiency:
+    def test_q1_prunes_columns(self, spark_noaqe):
+        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        assert_read_schema_only(
+            df, "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+        )
+
+    def test_filter_pushdown_reaches_scan(self, spark_noaqe):
+        df = REGISTRY["api_query"].fn(spark_noaqe, SF)
+        plan = plan_string(df)
+        assert "PushedFilters" in plan
+        assert "EqualTo(o_orderstatus,O)" in plan
+
+    def test_projection_pruning_events(self, spark_noaqe):
+        from globallinks_spark.queries import load
+
+        df = load(spark_noaqe, SF, "events").select("user_id")
+        assert_read_schema_only(df, "user_id")
+
+
+class TestJoinStrategy:
+    def test_star_join_broadcasts_dims(self, spark_noaqe):
+        df = REGISTRY["join_enrich"].fn(spark_noaqe, SF)
+        assert count_broadcast_joins(df) >= 3  # customer/nation/region
+
+    def test_semi_join_for_candidate_filter(self, spark_noaqe):
+        from globallinks_spark.operators.dedup import (
+            exact_jaccard,
+            with_shingle_hashes,
+        )
+        from globallinks_spark.queries import load
+
+        docs = load(spark_noaqe, SF, "documents")
+        sh = with_shingle_hashes(docs)
+        pairs = spark_noaqe.createDataFrame(
+            [(1, 2)], "doc_a long, doc_b long"
+        )
+        plan = plan_string(exact_jaccard(sh, pairs))
+        assert "LeftSemi" in plan
+
+
+class TestAggregationShape:
+    def test_q1_single_shuffle(self, spark_noaqe):
+        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        assert count_shuffles(df) == 1
+
+    def test_q1_partial_aggregate(self, spark_noaqe):
+        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        assert "partial_sum" in plan_string(df)  # map-side combine
+
+    def test_compaction_reuses_partitioning(self, spark_noaqe):
+        # window + groupBy on the same keys: one real exchange for the
+        # data path (plus at most a tiny one Spark adds for the window
+        # sort); never two full repartitions of the fact table
+        df = REGISTRY["compaction_merge"].fn(spark_noaqe, SF)
+        assert count_shuffles(df) <= 2
+
+    def test_codegen_active(self, spark_noaqe):
+        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        n = codegen_subtrees(df)
+        assert n is not None and n >= 2
+
+
+class TestUrlKernelStaysJvmSide:
+    def test_no_python_eval_in_extract_filters(self, spark_noaqe):
+        """Everything except the eTLD+1 UDF must stay JVM-side: exactly
+        the explode/link-kernel stage may evaluate Python, filters and
+        dedup must not add more."""
+        from globallinks_spark.operators import extract
+        from globallinks_spark.schemas import WAT_PAGE_SCHEMA
+
+        pages = spark_noaqe.createDataFrame([], WAT_PAGE_SCHEMA)
+        plan = plan_string(extract.extract_links(pages))
+        # the one pandas UDF appears; no row-at-a-time BatchEvalPython
+        assert "BatchEvalPython" not in plan
