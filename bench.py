@@ -44,6 +44,9 @@ BENCH_QUERIES = (
     "multimodal_meta",
     "streaming_window",
     "asof_join",
+    "filter_sum",
+    "rollup_revenue",
+    "skew_distinct",
 )
 
 

@@ -1,0 +1,112 @@
+"""Extraction-pipeline throughput benchmark (not driver-run; complements
+bench.py which covers the query catalog).
+
+Generates a synthetic WAT corpus (N pages of realistic envelope JSON with
+~12 links each), runs the full extract → compact pipeline, and reports
+pages/min/core next to the reference's documented numbers (BASELINE.md:
+up to 300,000 pages/min/thread parse; ~30 s per ~100-200k-page WAT file
+per core).
+
+Usage: python bench_extract.py [n_pages] [cores]
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from globallinks_spark.operators.compact import compact_segment
+from globallinks_spark.operators.extract import extract_links
+from globallinks_spark.session import get_spark
+from globallinks_spark.sources.wat import read_wat_pages
+
+
+def _page(i: int) -> dict:
+    host = f"site{i % 997}.example{i % 13}.com"
+    links = []
+    for j in range(12):
+        t = (i * 12 + j) % 4999
+        links.append({
+            "path": "A@/href" if j % 6 else "IMG@/src",
+            "url": f"https://target{t}.org/page/{t % 37}"
+            if j % 4 else f"/internal/{j}",
+            "text": f"anchor text {t}",
+            "rel": "nofollow" if j % 11 == 0 else "",
+        })
+    return {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": f"https://{host}/article/{i}",
+                "WARC-Date": f"2023-0{1 + i % 9}-1{i % 9}T10:00:00Z",
+                "WARC-IP-Address": f"10.{i % 250}.{(i // 250) % 250}.7",
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {
+                "Head": {"Title": f"Title {i}", "Metas": [], "Link": []},
+                "Links": links,
+            }}},
+        }
+    }
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "8")
+    )
+    work = tempfile.mkdtemp(prefix="watbench-")
+    try:
+        n_files = max(cores, 1)
+        per_file = n_pages // n_files
+        for f in range(n_files):
+            path = os.path.join(work, f"bench-{f:05d}.warc.wat.gz")
+            with gzip.open(path, "wt", encoding="utf-8") as out:
+                for i in range(f * per_file, (f + 1) * per_file):
+                    out.write("WARC-Type: metadata\n")
+                    out.write(json.dumps(_page(i)) + "\n")
+
+        spark = get_spark(
+            app_name="extract_bench", master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        paths = [os.path.join(work, p) for p in sorted(os.listdir(work))]
+
+        # warmup: JVM + codegen on one file, so the measurement reflects
+        # steady-state throughput (the regime that matters for a 90k-file
+        # archive)
+        extract_links(read_wat_pages(spark, paths[:1])).count()
+
+        t0 = time.perf_counter()
+        links = extract_links(read_wat_pages(spark, paths))
+        n_links = links.count()
+        t_extract = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_compact = compact_segment(links).count()
+        t_compact = time.perf_counter() - t0
+
+        pages_min_core = n_pages / (t_extract / 60) / cores
+        print(json.dumps({
+            "metric": "extract_pages_per_min_per_core",
+            "value": round(pages_min_core),
+            "unit": "pages/min/core",
+            "n_pages": n_pages,
+            "cores": cores,
+            "extract_sec": round(t_extract, 2),
+            "compact_sec": round(t_compact, 2),
+            "links_out": n_links,
+            "compacted_out": n_compact,
+            "reference_baseline": "300000 pages/min/thread (README.md:8)",
+        }))
+        spark.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,7 @@ merged output dominates (it is what the docs LINKDB.md:203-204 describe).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 GROUP_KEYS = (
@@ -61,19 +61,21 @@ def segment_distinct(links: DataFrame) -> DataFrame:
 def compact_links(links: DataFrame) -> DataFrame:
     """A5 — 14-col link rows → 16-col compacted rows.
 
-    One hash-partitioning on GROUP_KEYS serves both the dofollow-preference
-    window and the final aggregation (Catalyst reuses the child
-    partitioning, so this is a single shuffle; AQE splits skewed Zipfian
-    domains at runtime).
-    """
-    w = Window.partitionBy(*GROUP_KEYS)
-    survivors = (
-        links
-        .withColumn("_min_nf", F.min("no_follow").over(w))
-        .filter(F.col("no_follow") == F.col("_min_nf"))
-        .drop("_min_nf")
-    )
+    Two-phase aggregation, chosen for the shuffle profile at 100 TB:
 
+    phase 1 groups by (GROUP_KEYS, no_follow) — a plain hash aggregate,
+    so Tungsten's partial (map-side) aggregation collapses duplicate
+    links *before* the shuffle; phase 2 reduces the ≤2 rows per key
+    (one per no_follow value) with ``min_by(..., no_follow)``, which IS
+    the dofollow-preference rule: when a dofollow row exists, the
+    nofollow row's dates/ip/qty are discarded wholesale, exactly like
+    the reference's skip (main.go:578-580).
+
+    The alternative — a min-over-window prefilter — needs a full-data
+    shuffle+sort with no partial aggregation; on Zipfian link_domain
+    keys that is strictly worse. Phase 2's shuffle moves at most 2 rows
+    per group of already-aggregated data.
+    """
     first_order = F.struct(*[F.col(c) for c in _LINE_ORDER])
     rep_order = F.struct(
         F.length("page_path").alias("lp"),
@@ -83,25 +85,38 @@ def compact_links(links: DataFrame) -> DataFrame:
     rep_value = F.struct(F.col("page_path"), F.col("page_raw_query"))
     latest_order = F.struct(F.col("date_imported"), F.col("ip"))
 
-    agg = survivors.groupBy(*GROUP_KEYS).agg(
+    per_class = links.groupBy(*GROUP_KEYS, "no_follow").agg(
         F.min_by(F.col("link_scheme"), first_order).alias("link_scheme"),
         F.min_by(rep_value, rep_order).alias("_rep"),
         F.min_by(F.col("page_scheme"), first_order).alias("page_scheme"),
         F.min_by(F.col("link_text"), first_order).alias("link_text"),
-        F.min("no_follow").alias("no_follow"),
         F.min_by(F.col("no_index"), first_order).alias("no_index"),
         F.min("date_imported").alias("date_from"),
         F.max("date_imported").alias("date_to"),
         F.max_by(F.col("ip"), latest_order).alias("ip"),
         F.countDistinct("page_path", "page_raw_query").cast("int").alias("qty"),
     )
-    return agg.select(
+
+    payload = F.struct(
+        "link_scheme", "_rep", "page_scheme", "link_text", "no_follow",
+        "no_index", "date_from", "date_to", "ip", "qty",
+    )
+    best = per_class.groupBy(*GROUP_KEYS).agg(
+        F.min_by(payload, F.col("no_follow")).alias("p")
+    )
+    return best.select(
         "link_domain", "link_sub_domain", "link_path", "link_raw_query",
-        "link_scheme", "page_host",
-        F.col("_rep.page_path").alias("page_path"),
-        F.col("_rep.page_raw_query").alias("page_raw_query"),
-        "page_scheme", "link_text", "no_follow", "no_index",
-        "date_from", "date_to", "ip", "qty",
+        F.col("p.link_scheme").alias("link_scheme"), "page_host",
+        F.col("p._rep.page_path").alias("page_path"),
+        F.col("p._rep.page_raw_query").alias("page_raw_query"),
+        F.col("p.page_scheme").alias("page_scheme"),
+        F.col("p.link_text").alias("link_text"),
+        F.col("p.no_follow").alias("no_follow"),
+        F.col("p.no_index").alias("no_index"),
+        F.col("p.date_from").alias("date_from"),
+        F.col("p.date_to").alias("date_to"),
+        F.col("p.ip").alias("ip"),
+        F.col("p.qty").alias("qty"),
     )
 
 

@@ -3,20 +3,25 @@
 Re-expresses the reference's per-file parse loop
 (/root/reference/pkg/commoncrawl/wat.go:249-556) as one declarative plan:
 
-    read_wat_pages → page URL kernel (P1-P6) → page gates (F1,F7,F13,F14)
+    read_wat_pages → page kernel+gates (P1-P6, F1,F7,F13,F14)
     → explode(links) (J1 avoided: page columns carried through the explode)
-    → link gates (F3-F6,F7,F11,F12) → per-file dedup (A1/A2)
+    → link kernel+classification (F3-F6,F7,F11,F12) → per-file dedup (A1/A2)
     → 14-column link frame (+ optional 10-column page frame with A3 counters)
 
 The reference needs an explicit link→page hash join (J1, wat.go:897-917)
 because pages and links travel in separate hash maps; the explode keeps
-them in one row, so the join disappears entirely — the cheapest join is
-the one the plan never does.
+them in one row, so the join disappears entirely.
 
-Filters run **before** the explode where they depend only on the page
-(noindex, canonical, page URL quality) so dropped pages never pay the
-explode fan-out; Catalyst additionally pushes the cheap string gates into
-the scan stage (SURVEY §4 X3).
+Plan-shape discipline (load-bearing for throughput): each stage is ONE
+Project followed by ONE Filter on a boolean computed in that Project.
+Catalyst's filter pushdown inlines a predicate's full definition through
+every intermediate Project it crosses — a chain of withColumn+filter
+steps multiplies the URL/eTLD kernel hundreds of times into the plan
+(measured: 494 copies of the tokenizer in the naive formulation, 2.7×
+slower end-to-end). With the single-Project shape, each operator
+evaluates every unique subexpression once (whole-stage codegen
+subexpression elimination), so the kernel costs ~2 evaluations per row
+(Project + pushed Filter) regardless of how many predicates consume it.
 """
 
 from __future__ import annotations
@@ -26,6 +31,9 @@ from pyspark.sql import functions as F
 
 from globallinks_spark.functions import predicates as P
 from globallinks_spark.functions import urltools as U
+
+
+from globallinks_spark.functions.binding import bind_once as _bind
 
 
 def _robots_flag(metas: Column, token: str) -> Column:
@@ -52,39 +60,39 @@ def _canonicals(head_links: Column) -> Column:
 
 
 def pages_with_url_record(wat_pages: DataFrame) -> DataFrame:
-    """Page-level kernel: URL parts, eTLD+1, flags, dates; keeps every page
-    that passes F1 (header) + F7 (record quality) — content gates come
-    next so callers can also compute counters on gated-out pages."""
-    df = (
-        wat_pages
-        # F1 — the reference only accepts header lines starting
-        # 'WARC-Target-URI: http' (wat.go:302)
-        .filter(
-            F.col("target_uri").startswith("http")
-            & ~F.col("target_uri").contains("\n")
-        )
-        .withColumn("page_scheme", U.scheme_code(U.url_scheme(F.col("target_uri"))))
-        .withColumn("page_host", U.url_host(F.col("target_uri")))
-        .withColumn("page_path", U.url_path(F.col("target_uri")))
-        .withColumn("page_raw_query", U.url_raw_query(F.col("target_uri")))
-        .filter(P.path_ok(F.col("page_path")))
-        .withColumn("page_domain", U.etld_plus_one(F.col("page_host")))
-        .filter(
-            P.record_quality_ok(
-                F.col("page_domain"), F.col("page_host"), F.col("page_raw_query")
-            )
-        )
-        .withColumn("no_index", _robots_flag(F.col("metas"), "noindex"))
-        .withColumn("page_no_follow", _robots_flag(F.col("metas"), "nofollow"))
-        .withColumn("date_imported", F.to_date(F.col("warc_date")))
-        .withColumn("ip", F.coalesce(F.col("warc_ip"), F.lit("")))
+    """Page kernel: URL parts, eTLD+1, robots flags, dates, then the
+    F1+F7 gates. Shape: cheap raw gate (pushes into the scan) → binding
+    Project (parse/eTLD evaluated once each) → gates on attributes."""
+    uri = F.col("target_uri")
+    # F1 raw-string part — before the binding Project so it reaches the scan
+    gated = wat_pages.filter(uri.startswith("http") & ~uri.contains("\n"))
+
+    host = U.url_host(uri)
+    bound = gated.select(
+        "*",
+        U.scheme_code(U.url_scheme(uri)).alias("page_scheme"),
+        _bind(host).alias("page_host"),
+        _bind(U.url_path(uri)).alias("page_path"),
+        _bind(U.url_raw_query(uri)).alias("page_raw_query"),
+        _bind(U.etld_plus_one(host)).alias("page_domain"),
+        _robots_flag(F.col("metas"), "noindex").alias("no_index"),
+        _robots_flag(F.col("metas"), "nofollow").alias("page_no_follow"),
+        F.to_date(F.col("warc_date")).alias("date_imported"),
+        F.coalesce(F.col("warc_ip"), F.lit("")).alias("ip"),
     )
-    return df
+    return bound.filter(
+        P.path_ok(F.col("page_path"))
+        & P.record_quality_ok(                           # F7
+            F.col("page_domain"), F.col("page_host"), F.col("page_raw_query")
+        )
+    )
 
 
 def content_quality_gate(pages: DataFrame) -> DataFrame:
     """F13 (noindex) + F14 (canonical mismatch) — verifyContentQuality,
-    wat.go:736-755. All canonical entries must point at this page."""
+    wat.go:736-755. All canonical entries must point at this page. The
+    predicate only references already-computed columns, so pushdown
+    duplicates nothing heavy."""
     canon_ok = F.forall(
         _canonicals(F.col("head_links")),
         lambda c: P.canonical_ok(
@@ -99,37 +107,48 @@ def explode_links(pages: DataFrame) -> DataFrame:
     """Explode the nested link array; classify each href exactly as the
     reference's parseLinks loop does (wat.go:482-556). Emits every anchor
     with a ``link_class`` column ∈ {internal, external, emitted, skipped}
-    so A3 counters and the link output share one pass."""
-    df = pages.select(
+    so A3 counters and the link output share one pass.
+
+    One Project computes the link kernel AND the classification; the
+    anchor gate (F3) runs on the raw exploded struct before any kernel
+    work."""
+    exploded = pages.select(
         "*", F.explode(F.col("links")).alias("l")
     ).filter(P.is_anchor(F.col("l.path")))  # F3 — <a href> only
 
-    df = (
-        df.withColumn("href", F.col("l.url"))
-        .withColumn("link_text", F.coalesce(F.col("l.text"), F.lit("")))
-        .withColumn(
-            "no_follow",
-            F.greatest(
-                F.col("page_no_follow"),
-                F.when(
-                    F.coalesce(F.col("l.rel"), F.lit("")).startswith("nofollow"),
-                    F.lit(1),
-                ).otherwise(F.lit(0)),
-            ),
-        )
-        .withColumn("is_absolute", P.is_absolute(F.col("href")))
-        .withColumn("link_scheme", U.scheme_code(U.url_scheme(F.col("href"))))
-        .withColumn("link_host", U.url_host(F.col("href")))
-        .withColumn("link_path", U.url_path(F.col("href")))
-        .withColumn("link_raw_query", U.url_raw_query(F.col("href")))
-        .withColumn(
-            "link_domain",
-            F.when(F.col("is_absolute"), U.etld_plus_one(F.col("link_host"))),
-        )
+    href = F.col("l.url")
+    is_absolute = P.is_absolute(href)
+    link_host = U.url_host(href)
+
+    # binding Project: each parse/eTLD evaluated once per link row
+    bound = exploded.select(
+        "*",
+        F.coalesce(F.col("l.text"), F.lit("")).alias("link_text"),
+        F.greatest(
+            F.col("page_no_follow"),
+            F.when(
+                F.coalesce(F.col("l.rel"), F.lit("")).startswith("nofollow"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).alias("no_follow"),
+        is_absolute.alias("_is_absolute"),
+        (~href.contains("\n")).alias("_href_clean"),
+        U.scheme_code(U.url_scheme(href)).alias("link_scheme"),
+        # relative hrefs classify as 'internal' before any kernel column
+        # is consulted (CaseWhen short-circuits), so parsing them would be
+        # pure waste — on real crawls ~half of all anchors are relative
+        _bind(F.when(is_absolute, link_host)).alias("link_host"),
+        _bind(F.when(is_absolute, U.url_path(href))).alias("link_path"),
+        _bind(F.when(is_absolute, U.url_raw_query(href)))
+        .alias("link_raw_query"),
+        _bind(F.when(is_absolute, U.etld_plus_one(link_host)))
+        .alias("link_domain"),
     )
 
+    # classification references only attributes — a small tree that stays
+    # in codegen even after the downstream filter inlines it once
     parse_ok = (
-        ~F.col("href").contains("\n")
+        F.col("_href_clean")
         & P.path_ok(F.col("link_path"))
         & F.col("link_host").isNotNull()
     )
@@ -138,7 +157,7 @@ def explode_links(pages: DataFrame) -> DataFrame:
     )
     classify = (
         # F4 — relative href: internal, not emitted (wat.go:509-512)
-        F.when(~F.col("is_absolute"), F.lit("internal"))
+        F.when(~F.col("_is_absolute"), F.lit("internal"))
         # unparseable href: skipped silently (buildURLRecord false, wat.go:521-524)
         .when(~parse_ok, F.lit("skipped"))
         # F5 — same host: internal (wat.go:527-530)
@@ -153,7 +172,9 @@ def explode_links(pages: DataFrame) -> DataFrame:
         .when(~P.domain_not_blocked(F.col("link_domain")), F.lit("external"))
         .otherwise(F.lit("emitted"))
     )
-    return df.withColumn("link_class", classify)
+    return bound.select("*", classify.alias("link_class")).drop(
+        "_is_absolute", "_href_clean"
+    )
 
 
 def link_rows(classified: DataFrame) -> DataFrame:
@@ -161,18 +182,20 @@ def link_rows(classified: DataFrame) -> DataFrame:
     reference's per-file key — link host+path+query × page host+path+query
     (A2, farmhash key at wat.go:365). dropDuplicates compiles to a
     partial-then-final aggregate around one shuffle, which is exactly the
-    reference's per-file map + global sort -u staging (SURVEY §4 X1)."""
+    reference's per-file map + global sort -u staging (SURVEY §4 X1).
+
+    The filter and subdomain derivation reference only named columns —
+    nothing heavy re-inlines."""
     return (
         classified.filter(F.col("link_class") == "emitted")
-        .withColumn(
-            "link_sub_domain", U.subdomain(F.col("link_host"), F.col("link_domain"))
-        )
-        .withColumn("link_text", U.scrub_delimiter(F.col("link_text")))
         .select(
-            "link_domain", "link_sub_domain", "link_path", "link_raw_query",
-            "link_scheme", "page_host", "page_path", "page_raw_query",
-            "page_scheme", "link_text", "no_follow", "no_index",
-            "date_imported", "ip",
+            "link_domain",
+            U.subdomain(F.col("link_host"), F.col("link_domain"))
+            .alias("link_sub_domain"),
+            "link_path", "link_raw_query", "link_scheme",
+            "page_host", "page_path", "page_raw_query", "page_scheme",
+            U.scrub_delimiter(F.col("link_text")).alias("link_text"),
+            "no_follow", "no_index", "date_imported", "ip",
         )
         .dropDuplicates([
             "link_domain", "link_sub_domain", "link_path", "link_raw_query",

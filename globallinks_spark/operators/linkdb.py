@@ -167,3 +167,22 @@ def get_domain_links(serving: DataFrame, q: LinkQuery) -> DataFrame:
         "date_from", "date_to", "ip", "qty",
     )
     return out.offset((page - 1) * limit).limit(limit)
+
+
+def to_json_response(result: DataFrame) -> list[str]:
+    """K5 — render a (already paginated, ≤100-row) query result as JSON
+    strings matching the reference's LinkOut field names
+    (pkg/linkdb/models.go:28-38, marshal handler.go:66-72). The collect
+    is bounded by MAX_LIMIT — this is the API edge, not a data path."""
+    renamed = result.select(
+        F.col("link_url").alias("linkUrl"),
+        F.col("page_url").alias("pageUrl"),
+        F.col("link_text").alias("linkText"),
+        F.col("no_follow").alias("noFollow"),
+        F.col("no_index").alias("noIndex"),
+        F.date_format("date_from", "yyyy-MM-dd").alias("dateFrom"),
+        F.date_format("date_to", "yyyy-MM-dd").alias("dateTo"),
+        F.col("ip").alias("ips"),
+        F.col("qty").alias("qty"),
+    )
+    return [row for row in renamed.toJSON().collect()]

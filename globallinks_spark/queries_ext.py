@@ -441,6 +441,106 @@ ASOF LEFT JOIN o1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: filter_sum — TPC-H Q6 shape: the pure predicate-pushdown + map-side
+# aggregation showcase (no shuffle of data, one scalar out).
+
+def q_filter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_FILTER_SUM = """
+SELECT
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: rollup_revenue — hierarchical totals (region → nation → grand total),
+# OLAP surface beyond the reference's operator set.
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double"), 2,
+            ).alias("total"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "total", "n_orders",
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: skew_distinct — exact distinct-count per key via the two-stage salted
+# aggregation (operators/skew.py): hot keys fan out over salt shards, and
+# because the VALUE picks the shard the per-shard distinct counts sum
+# exactly — oracle = plain COUNT(DISTINCT).
+
+def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.skew import salted_distinct_count
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_distinct_count(li, ["l_returnflag"], "l_partkey")
+
+
+SQL_SKEW_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_l_partkey
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -456,4 +556,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "streaming_window": QuerySpec(q_streaming_window, SQL_STREAMING_WINDOW),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
+    "filter_sum": QuerySpec(q_filter_sum, SQL_FILTER_SUM),
+    "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "skew_distinct": QuerySpec(q_skew_distinct, SQL_SKEW_DISTINCT),
 }

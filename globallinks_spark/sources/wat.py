@@ -36,10 +36,17 @@ def read_wat_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     never pay JSON parsing (the reference's early-filter ordering, SURVEY
     §4 X3 — Catalyst keeps both filters in one WholeStageCodegen stage).
     """
+    from globallinks_spark.functions.binding import bind_once
+
     raw = spark.read.text(paths)
     env = (
         raw.filter(_line_looks_like_record())
-        .select(F.from_json("value", WAT_ENVELOPE_SCHEMA).alias("e"))
+        # bind_once: without it, every downstream predicate that Catalyst
+        # pushes below the flatten carries its own from_json(value) copy —
+        # re-parsing the envelope per predicate per row (see
+        # functions/binding.py). The line-level gate above is the only
+        # filter that belongs below the parse, and it is already applied.
+        .select(bind_once(F.from_json("value", WAT_ENVELOPE_SCHEMA)).alias("e"))
         .select("e.Envelope.*")
     )
     meta = F.col("`WARC-Header-Metadata`")
