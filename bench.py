@@ -47,6 +47,8 @@ BENCH_QUERIES = (
     "filter_sum",
     "rollup_revenue",
     "skew_distinct",
+    "set_ops",
+    "pivot_status",
 )
 
 

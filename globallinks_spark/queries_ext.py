@@ -541,6 +541,72 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: set_ops — INTERSECT / EXCEPT surface (SURVEY §2.7: the reference has
+# none; a complete engine needs them).
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    with_orders = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    with_open = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+    all_cust = c.select(F.col("c_custkey").alias("custkey"))
+    closed_only = with_orders.exceptAll(with_open)
+    no_orders = all_cust.exceptAll(with_orders)
+    both = with_orders.intersect(all_cust)
+    return (
+        closed_only.withColumn("category", F.lit("closed_only"))
+        .unionByName(no_orders.withColumn("category", F.lit("no_orders")))
+        .unionByName(both.withColumn("category", F.lit("customer_with_orders")))
+    )
+
+
+SQL_SET_OPS = """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+with_open AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+              WHERE o_orderstatus = 'O'),
+all_cust AS (SELECT c_custkey AS custkey FROM customer)
+SELECT custkey, 'closed_only' AS category
+  FROM (SELECT custkey FROM with_orders EXCEPT ALL SELECT custkey FROM with_open)
+UNION ALL
+SELECT custkey, 'no_orders'
+  FROM (SELECT custkey FROM all_cust EXCEPT ALL SELECT custkey FROM with_orders)
+UNION ALL
+SELECT custkey, 'customer_with_orders'
+  FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM all_cust)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: pivot_status — pivot (wide counts), unpivoted oracle via CASE sums.
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") star is invalid inside pivot
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"),
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -559,4 +625,6 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "filter_sum": QuerySpec(q_filter_sum, SQL_FILTER_SUM),
     "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "skew_distinct": QuerySpec(q_skew_distinct, SQL_SKEW_DISTINCT),
+    "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
+    "pivot_status": QuerySpec(q_pivot_status, SQL_PIVOT_STATUS),
 }

@@ -1,0 +1,76 @@
+"""applyInPandasWithState operators: dedup and running totals across
+micro-batches (state survives between batches, duplicates don't leak)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from globallinks_spark.streaming.stateful import (
+    stream_first_seen,
+    stream_running_totals,
+)
+
+
+def _run_two_batches(spark, tmp_path, build_query, rows1, rows2, schema):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = build_query(stream)
+    q.processAllAvailable()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+
+SCHEMA = "user_id bigint, event_id bigint, value double"
+
+
+class TestStreamFirstSeen:
+    def test_dedup_across_batches(self, spark, tmp_path):
+        def build(stream):
+            out = stream_first_seen(stream)
+            return (
+                out.writeStream.format("memory").queryName("fs_out")
+                .outputMode("append").start()
+            )
+
+        _run_two_batches(
+            spark, tmp_path, build,
+            rows1=[(1, 10, 1.0), (1, 11, 2.0), (2, 20, 3.0)],
+            rows2=[(1, 12, 4.0), (3, 30, 5.0)],
+            schema=SCHEMA,
+        )
+        rows = spark.sql("SELECT * FROM fs_out").collect()
+        by_user = {r.user_id: r for r in rows}
+        assert set(by_user) == {1, 2, 3}
+        assert len(rows) == 3          # user 1's batch-2 row swallowed
+        assert by_user[1].event_id == 10
+
+
+class TestRunningTotals:
+    def test_totals_accumulate(self, spark, tmp_path):
+        def build(stream):
+            out = stream_running_totals(stream)
+            return (
+                out.writeStream.format("memory").queryName("rt_out")
+                .outputMode("append").start()
+            )
+
+        _run_two_batches(
+            spark, tmp_path, build,
+            rows1=[(1, 10, 1.0), (1, 11, 2.0)],
+            rows2=[(1, 12, 4.0), (2, 20, 7.5)],
+            schema=SCHEMA,
+        )
+        rows = spark.sql("SELECT * FROM rt_out ORDER BY key, n_events").collect()
+        u1 = [r for r in rows if r.key == 1]
+        assert [(r.n_events, r.total_value) for r in u1] == [(2, 3.0), (3, 7.0)]
+        u2 = [r for r in rows if r.key == 2]
+        assert [(r.n_events, r.total_value) for r in u2] == [(1, 7.5)]
