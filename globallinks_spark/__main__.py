@@ -1,0 +1,50 @@
+"""CLI mirroring the reference's three binaries plus the query surface.
+
+    python -m globallinks_spark import <out_dir> <segment> <wat_file...>
+    python -m globallinks_spark compact <out_dir> <segment>
+    python -m globallinks_spark store <out_dir> <serving_path> [buckets]
+    python -m globallinks_spark query <serving_path> <domain> [limit] [page]
+
+(reference: cmd/importer, cmd/importer compacting mode, cmd/storelinks,
+cmd/linksapi — /root/reference/cmd/*/main.go)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from globallinks_spark.session import get_spark
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cmd = argv[1]
+    spark = get_spark(app_name=f"globallinks_{cmd}")
+    from globallinks_spark import runner
+    from globallinks_spark.operators.linkdb import LinkQuery, to_json_response
+
+    if cmd == "import" and len(argv) >= 5:
+        runner.run_import(spark, argv[4:], argv[2], argv[3])
+    elif cmd == "compact" and len(argv) == 4:
+        runner.run_compact(spark, argv[2], argv[3])
+    elif cmd == "store" and len(argv) in (4, 5):
+        buckets = int(argv[4]) if len(argv) == 5 else 256
+        runner.run_store(spark, argv[2], argv[3], buckets)
+    elif cmd == "query" and len(argv) >= 4:
+        q = LinkQuery(
+            domain=argv[3],
+            limit=int(argv[4]) if len(argv) > 4 else 100,
+            page=int(argv[5]) if len(argv) > 5 else 1,
+        )
+        for line in to_json_response(runner.query_links(spark, argv[2], q)):
+            print(line)
+    else:
+        print(__doc__)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
