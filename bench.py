@@ -49,6 +49,10 @@ BENCH_QUERIES = (
     "skew_distinct",
     "set_ops",
     "pivot_status",
+    "cube_revenue",
+    "quantiles",
+    "stats_agg",
+    "approx_profile",
 )
 
 

@@ -121,7 +121,15 @@ def compact_links(links: DataFrame) -> DataFrame:
 
 
 def compact_segment(links: DataFrame) -> DataFrame:
-    """Full segment finalize: A4 then A5 (compactSegmentData,
-    main.go:507-564). ``distinct()`` before the group-merge keeps the
-    compaction input grain identical to the reference's sorted file."""
-    return compact_links(segment_distinct(links))
+    """Full segment finalize (compactSegmentData, main.go:507-564).
+
+    The reference runs A4 (``sort -u``) before A5 because its streaming
+    merge needs sorted, de-duplicated input. The group-merge itself does
+    not: every A5 aggregate — min/max dates, min_by/max_by, countDistinct
+    variants, min(no_follow) — is invariant under row duplication, so
+    feeding raw (possibly duplicated) link rows produces byte-identical
+    compacted output while skipping an entire full-table shuffle.
+    ``segment_distinct`` remains available for emitting the reference's
+    intermediate sorted file (K1 byte-compat); the serving path doesn't
+    pay for it."""
+    return compact_links(links)

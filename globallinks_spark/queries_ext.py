@@ -542,6 +542,103 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Q: cube_revenue — full CUBE over (status, priority): every grouping-set
+# combination in one pass.
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double"), 2,
+            ).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "total", "n",
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+  count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: quantiles — exact interpolated percentiles per group (Spark
+# ``percentile`` ≡ DuckDB ``quantile_cont``); the approx variant
+# (approx_percentile / percentile_approx) is the scale path but is
+# engine-specific, so the oracle pins the exact form.
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: stats_agg — second-moment statistics (stddev / correlation /
+# covariance), exact closed forms shared by both engines.
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+SQL_STATS_AGG = """
+SELECT l_linestatus,
+  round(stddev_samp(l_quantity), 4) AS sd_qty,
+  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
+  round(avg(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: approx_profile — sketch-based profiling (HLL distinct counts). The
+# sketch is engine-specific so there is no value oracle — the driver
+# records its rows-only check; tests/test_queries_oracle.py additionally
+# bounds the estimate against the exact count.
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q: set_ops — INTERSECT / EXCEPT surface (SURVEY §2.7: the reference has
 # none; a complete engine needs them).
 
@@ -627,4 +724,8 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "skew_distinct": QuerySpec(q_skew_distinct, SQL_SKEW_DISTINCT),
     "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
     "pivot_status": QuerySpec(q_pivot_status, SQL_PIVOT_STATUS),
+    "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
+    "quantiles": QuerySpec(q_quantiles, SQL_QUANTILES),
+    "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
+    "approx_profile": QuerySpec(q_approx_profile, None),  # rows-only
 }

@@ -51,6 +51,13 @@ def test_query_matches_oracle(spark, ddb, name):
     spec = REGISTRY[name]
     got = spec.fn(spark, SF_DIR).toPandas()
     if spec.oracle is None:
+        if name == "approx_profile":
+            # sketches are engine-specific; bound them against exact counts
+            exact_parts = ddb.sql(
+                "SELECT count(DISTINCT l_partkey) FROM lineitem"
+            ).fetchone()[0]
+            est = int(got["approx_parts"].iloc[0])
+            assert abs(est - exact_parts) / exact_parts < 0.1
         assert len(got) >= 0
         return
     want = ddb.sql(spec.oracle).df()
