@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     "skew_distinct",
     "set_ops",
     "pivot_status",
+    "winnow_fingerprint",
     "cube_revenue",
     "quantiles",
     "stats_agg",

@@ -73,6 +73,25 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     return F.transform(shingles(words(text), k), lambda s: h30(s))
 
 
+def shingles_seq(words_col: Column, k: int = 3) -> Column:
+    """Positional (non-distinct) k-gram sequence — winnowing needs the
+    document-order hash stream, not the set."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - (k - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(words_col, i + off) for off in range(k)]
+    )
+    return F.transform(idx, gram)
+
+
+def shingles_seq_sql(words_expr: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"w[i+{off}]" for off in range(k))
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({words_expr}) - {k - 1}, 0) + 1), "
+        f"i -> {parts})"
+    ).replace("w[", f"{words_expr}[")
+
+
 def lang_score(words_col: Column, lang: str) -> Column:
     """Count of marker-stopword occurrences for ``lang``."""
     markers = LANG_MARKERS[lang]

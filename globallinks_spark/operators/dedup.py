@@ -248,6 +248,42 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    rolling-hash scheme): hash the positional k-gram stream, slide a
+    window of ``w`` hashes, keep each window's minimum — the classic
+    plagiarism/near-dup fingerprint whose density is 2/(w+1) regardless
+    of document length.
+
+    Pure array algebra per row (sequence → slice → array_min), no
+    explosion; output one (doc_id, fp) row per distinct fingerprint.
+    """
+    from globallinks_spark.functions.text import shingles_seq, words
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    hs = (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("doc_id"),
+                words(F.col(text_col)).alias("wd"))
+        .select("doc_id", shingles_seq(F.col("wd"), k).alias("sh"))
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: TX.h30(s)).alias("hs"),
+        )
+    )
+    n_windows = F.greatest(F.size("hs") - (w - 1), F.lit(0))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+        )
+    )
+    return hs.select("doc_id", F.explode(fps).alias("fp"))
+
+
 def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Documents sharing an identical simhash (hamming-0 groups). For
     hamming ≤ k at scale, band the fingerprint into k+1 segments and

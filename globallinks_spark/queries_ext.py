@@ -542,6 +542,34 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Q: winnow_fingerprint — rolling-hash winnowing fingerprints (window
+# minima over the positional shingle-hash stream).
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(load(spark, sf_dir, "documents"), k=3, w=4)
+
+
+SQL_WINNOW_FINGERPRINT = f"""
+WITH w AS (
+  SELECT doc_id, {TX.words_sql('text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {TX.shingles_seq_sql('w', 3)} AS sh FROM w
+), hs AS (
+  SELECT doc_id, list_transform(sh, s -> {H.h30_sql('s')}) AS hs FROM sh
+), fps AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(hs) - 3, 0) + 1),
+      i -> list_min(hs[i:i+3]))) AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) AS fp FROM fps
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: cube_revenue — full CUBE over (status, priority): every grouping-set
 # combination in one pass.
 
@@ -724,6 +752,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "skew_distinct": QuerySpec(q_skew_distinct, SQL_SKEW_DISTINCT),
     "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
     "pivot_status": QuerySpec(q_pivot_status, SQL_PIVOT_STATUS),
+    "winnow_fingerprint": QuerySpec(q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
     "quantiles": QuerySpec(q_quantiles, SQL_QUANTILES),
     "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),

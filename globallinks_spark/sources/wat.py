@@ -71,6 +71,36 @@ def segment_of_path(path_col) -> "F.Column":
     return F.split(path_col, "/").getItem(3)
 
 
+import re
+
+_ARCHIVE_RE = re.compile(r"^CC-MAIN-\d{4}-\d{2}$")
+
+
+def is_correct_archive_format(name: str) -> bool:
+    """Archive name gate, e.g. 'CC-MAIN-2023-12' (IsCorrectArchiveFormat,
+    wat.go:1064-1069)."""
+    return bool(_ARCHIVE_RE.match(name))
+
+
+def select_segment(
+    manifest: DataFrame, done_segments: set[str], segment: str | None = None
+) -> str | None:
+    """Next segment to import — lowest id not yet finished (O5,
+    SelectSegmentToImport wat.go:979-992), or the explicitly requested
+    one (SelectSegmentByID wat.go:995-1003). Driver-side metadata op on
+    the manifest frame; returns None when nothing is left."""
+    segs = [
+        r.segment
+        for r in manifest.select("segment").distinct().orderBy("segment").collect()
+    ]
+    if segment is not None:
+        return segment if segment in segs else None
+    for s in segs:
+        if s not in done_segments:
+            return s
+    return None
+
+
 def wat_manifest(spark: SparkSession, paths_file: str) -> DataFrame:
     """S1 — read a (downloaded) ``wat.paths`` manifest into
     (wat_path, segment, file_number); the driver-side work queue

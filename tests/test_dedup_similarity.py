@@ -81,6 +81,36 @@ class TestNgramJaccard:
         assert lsh <= exact
 
 
+class TestWinnowing:
+    def test_identical_docs_same_fingerprints(self, spark, docs):
+        fps = D.winnow_fingerprints(docs).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[0] == by_doc[1]          # exact dup
+        assert by_doc[0] != by_doc[3]          # unrelated
+
+    def test_near_dup_shares_most_fingerprints(self, spark, docs):
+        fps = D.winnow_fingerprints(docs).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        inter = by_doc[0] & by_doc[2]
+        assert len(inter) / len(by_doc[0] | by_doc[2]) > 0.5
+
+    def test_density(self, spark):
+        # winnowing guarantees ≥1 fingerprint per w consecutive windows;
+        # expected density ≈ 2/(w+1)
+        long_doc = spark.createDataFrame(
+            [(1, " ".join(f"w{i * 7919 % 1000}" for i in range(500)))],
+            "doc_id long, text string",
+        )
+        n = D.winnow_fingerprints(long_doc, k=3, w=4).count()
+        n_windows = 500 - 2 - 3  # shingles - (w-1)
+        assert n <= n_windows
+        assert n >= n_windows * 2 / (4 + 1) * 0.5
+
+
 class TestSimhash:
     def test_identical_texts_same_hash(self, docs):
         sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
