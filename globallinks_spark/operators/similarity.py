@@ -72,6 +72,105 @@ def bucketed_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """IVF (inverted-file) index: k-means cells + per-vector cell
+    assignment.
+
+    Deterministic by construction: centroids seed from an id-stride
+    sample (not random), Lloyd iterations are fixed-count, and means are
+    computed per-dimension with Spark aggregates. Centroids collect to
+    the driver (n_cells × dim floats — parameters, not data) and ship
+    back inside the plan as literals, the broadcast pattern for small
+    model state.
+
+    Returns (centroids, assigned) where assigned = embeddings + ``cell``.
+    At 100 TB the assignment pass is one narrow scan per iteration; the
+    per-cell mean is a groupBy on n_cells keys (tiny shuffle).
+    """
+    from globallinks_spark.functions.binding import bind_once
+
+    dim = len(embeddings.select(vec_col).first()[0])
+
+    def with_cell(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+        # one distance expression per cell collected into an array, cell =
+        # argmin via array_position. A running-min when-chain would embed
+        # the previous best twice per step — a 2^n_cells expression tree
+        # that OOMs the driver during analysis before a single row moves.
+        # (dot(v,v) is constant under argmin and omitted.)
+        dists = F.array(*[
+            F.lit(sum(x * x for x in c))
+            - 2 * V.dot(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+            )
+            for c in cents
+        ])
+        return (
+            df.withColumn("_dists", bind_once(dists))
+            .withColumn(
+                "cell",
+                (F.array_position(F.col("_dists"), F.array_min("_dists"))
+                 - 1).cast("int"),
+            )
+            .drop("_dists")
+        )
+
+    # seed: evenly-strided sample by id order (deterministic)
+    seeds = (
+        embeddings.orderBy(id_col).limit(n_cells * 7)
+        .collect()
+    )
+    centroids = [
+        [float(x) for x in seeds[min(i * 7, len(seeds) - 1)][vec_col]]
+        for i in range(min(n_cells, len(seeds)))
+    ]
+
+    for _ in range(iterations):
+        assigned = with_cell(embeddings, centroids)
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        by_cell = {r["cell"]: [r[f"d{i}"] for i in range(dim)] for r in means}
+        centroids = [
+            by_cell.get(ci, centroids[ci]) for ci in range(len(centroids))
+        ]
+
+    assigned = with_cell(embeddings, centroids)
+    return centroids, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: score only vectors whose cell is among the
+    ``n_probe`` centroids nearest the query. Recall/latency trades on
+    n_probe; n_probe = n_cells degrades gracefully to brute force."""
+    centroids, assigned = build_ivf_index(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col
+    )
+
+    def d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda ci: d2(centroids[ci]))
+    cands = assigned.filter(F.col("cell").isin(*probe[:n_probe]))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -542,6 +542,19 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Q: ann_ivf — inverted-file ANN (k-means cells, probe nearest cells).
+# No SQL oracle: the index is iterative model state; tests bound recall
+# against brute force instead (driver records rows-only).
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
 # Q: winnow_fingerprint — rolling-hash winnowing fingerprints (window
 # minima over the positional shingle-hash stream).
 
@@ -757,4 +770,5 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "quantiles": QuerySpec(q_quantiles, SQL_QUANTILES),
     "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
     "approx_profile": QuerySpec(q_approx_profile, None),  # rows-only
+    "ann_ivf": QuerySpec(q_ann_ivf, None),                # rows-only
 }

@@ -21,6 +21,10 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # local mode: the driver JVM hosts executors AND all cached/broadcast
+    # state; the 1g default OOMs long test sessions. Applied only at JVM
+    # launch (ignored on an existing session).
+    "spark.driver.memory": "16g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

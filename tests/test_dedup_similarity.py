@@ -165,3 +165,43 @@ class TestSimilarity:
             embeddings, threshold=0.9, partition_col=None
         ).collect()
         assert (0, 4) in {(r.vec_a, r.vec_b) for r in out}
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import math
+        rows = []
+        for i in range(200):
+            angle = (i % 8) * math.pi / 4 + (i // 8) * 0.01
+            rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0],
+                         i % 8))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_index_assigns_every_vector(self, corpus):
+        _, assigned = S.build_ivf_index(corpus, n_cells=8)
+        assert assigned.filter(F.col("cell").isNull()).count() == 0
+        assert assigned.count() == 200
+
+    def test_ivf_recall_against_brute_force(self, corpus):
+        q = [1.0, 0.05, 0.0, 0.0]
+        exact = {r.vec_id for r in S.cosine_topk(corpus, q, k=10).collect()}
+        approx = {
+            r.vec_id
+            for r in S.ivf_topk(corpus, q, k=10, n_cells=8, n_probe=3).collect()
+        }
+        assert len(exact & approx) >= 8  # ≥80% recall at n_probe=3
+
+    def test_full_probe_equals_brute_force(self, corpus):
+        q = [0.0, 1.0, 0.0, 0.0]
+        exact = [
+            (r.vec_id, r.cosine)
+            for r in S.cosine_topk(corpus, q, k=5).collect()
+        ]
+        full = [
+            (r.vec_id, r.cosine)
+            for r in S.ivf_topk(corpus, q, k=5, n_cells=8, n_probe=8).collect()
+        ]
+        assert exact == full

@@ -69,6 +69,26 @@ class TestPipeline:
         assert len(out) == 1
         assert out[0].link_url.startswith("https://www.target-one.org")
 
+    def test_multi_segment_store(self, spark, tmp_path_factory):
+        """Two segments → one serving table; cross-segment rows merge at
+        query time (the reference's per-segment Mongo loads, unified)."""
+        base = tmp_path_factory.mktemp("multi")
+        out, serving = str(base / "out"), str(base / "srv")
+        for seg in ("s1", "s2"):
+            wat = str(base / f"{seg}.warc.wat.gz")
+            write_wat_file(wat)
+            run_import(spark, [wat], out, segment=seg)
+            run_compact(spark, out, segment=seg)
+        run_store(spark, out, serving, buckets=8)
+        rows = query_links(
+            spark, serving, LinkQuery(domain="target-one.org")
+        ).collect()
+        # same link from both segments → one merged row, qty summed
+        merged = [r for r in rows if r.link_url == "https://target-one.org/article"
+                  and "alpha" in r.page_url]
+        assert len(merged) == 1
+        assert merged[0].qty == 2
+
     def test_partition_pruning(self, spark, pipeline_dirs):
         _, serving = pipeline_dirs
         from globallinks_spark.sources.serving import read_serving_table
