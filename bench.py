@@ -54,6 +54,7 @@ BENCH_QUERIES = (
     "quantiles",
     "stats_agg",
     "approx_profile",
+    "ann_ivf",
 )
 
 

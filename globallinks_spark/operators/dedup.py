@@ -55,12 +55,36 @@ def with_shingle_hashes(
 
 
 def minhash_signatures(shingled: DataFrame) -> DataFrame:
-    """(doc_id, mh_0 … mh_{15}) — one row per doc, no explosion."""
-    cols = [
-        H.minhash_expr(F.col("hashes"), j).alias(f"mh_{j}")
-        for j in range(H.NUM_HASHES)
-    ]
-    return shingled.select("doc_id", *cols)
+    """(doc_id, mh_0 … mh_{15}) — one row per doc, no explosion.
+
+    The whole signature is ONE nested-transform expression over literal
+    (a, b) parameter arrays rather than 16 independent expression trees:
+    16 separate trees made Janino compile ~20 s of generated code on the
+    first invocation (codegen is cached only per-plan). The mh_j columns
+    are then cheap element_at projections off the bound array."""
+    a_arr = F.array(*[F.lit(a) for a, _ in H.MINHASH_PARAMS])
+    b_arr = F.array(*[F.lit(b) for _, b in H.MINHASH_PARAMS])
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(H.NUM_HASHES - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("hashes"),
+                lambda h: (F.element_at(a_arr, j + 1) * h
+                           + F.element_at(b_arr, j + 1))
+                % F.lit(H.MERSENNE_31),
+            )
+        ),
+    )
+    from globallinks_spark.functions.binding import bind_once
+
+    bound = shingled.select("doc_id", bind_once(sig).alias("_sig"))
+    return bound.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("_sig"), j + 1).alias(f"mh_{j}")
+            for j in range(H.NUM_HASHES)
+        ],
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
