@@ -51,12 +51,22 @@ def words_sql(expr: str) -> str:
 
 
 def shingles(words_col: Column, k: int = 3) -> Column:
-    """array<string> of space-joined k-grams (distinct)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - (k - 1), F.lit(0)))
+    """array<string> of space-joined k-grams (distinct).
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` is the DESCENDING
+    list ``[1, 0]`` (not empty, unlike DuckDB's ``range``), so an
+    unguarded transform over it feeds index 0 into ``element_at`` and
+    throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode for any
+    document with fewer than ``k`` words. Docs shorter than ``k`` words
+    yield an empty array, matching the oracle's ``range`` semantics.
+    """
+    idx = F.sequence(F.lit(1), F.size(words_col) - (k - 1))
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(words_col, i + off) for off in range(k)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        F.size(words_col) >= k, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(words_expr: str, k: int = 3) -> str:
@@ -75,12 +85,15 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
 
 def shingles_seq(words_col: Column, k: int = 3) -> Column:
     """Positional (non-distinct) k-gram sequence — winnowing needs the
-    document-order hash stream, not the set."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - (k - 1), F.lit(0)))
+    document-order hash stream, not the set. Short-doc guard as in
+    :func:`shingles` (``sequence(1, 0)`` is ``[1, 0]``, not empty)."""
+    idx = F.sequence(F.lit(1), F.size(words_col) - (k - 1))
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(words_col, i + off) for off in range(k)]
     )
-    return F.transform(idx, gram)
+    return F.when(
+        F.size(words_col) >= k, F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_seq_sql(words_expr: str, k: int = 3) -> str:

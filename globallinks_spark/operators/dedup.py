@@ -298,13 +298,20 @@ def winnow_fingerprints(
             F.transform(F.col("sh"), lambda s: TX.h30(s)).alias("hs"),
         )
     )
-    n_windows = F.greatest(F.size("hs") - (w - 1), F.lit(0))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
-        )
-    )
+    # Short-doc guard: sequence(1, n) with n <= 0 is a DESCENDING list
+    # ([1, 0], [1, 0, -1], …), not empty — slicing at those indexes would
+    # throw under ANSI mode. Docs with fewer than w hashes (including docs
+    # too short to have any k-grams) emit no fingerprints.
+    n_windows = F.size("hs") - (w - 1)
+    fps = F.when(
+        n_windows >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return hs.select("doc_id", F.explode(fps).alias("fp"))
 
 

@@ -24,6 +24,53 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+class TestShortDocs:
+    """Docs with fewer than k words must yield empty shingle arrays, not
+    crash: Spark's sequence(1, 0) is the DESCENDING [1, 0], so the
+    unguarded transform fed index 0 into element_at and threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode (round-1 bug)."""
+
+    @pytest.fixture(scope="class")
+    def short_docs(self, spark):
+        rows = [
+            (0, ""),                      # 0 words
+            (1, "hello"),                 # 1 word
+            (2, "hello world"),           # 2 words (< k=3)
+            (3, "   \t  "),               # whitespace only
+            (4, "one two three four five six seven eight"),  # normal
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shingle_hashes_empty_for_short_docs(self, short_docs):
+        rows = {
+            r.doc_id: r.hashes
+            for r in D.with_shingle_hashes(short_docs).collect()
+        }
+        assert rows[0] == [] and rows[1] == [] and rows[2] == []
+        assert rows[3] == []
+        assert len(rows[4]) == 6  # 8 words → 6 trigrams
+
+    def test_minhash_pipeline_survives_short_docs(self, short_docs):
+        pairs = D.minhash_dedup_pairs(short_docs, threshold=0.5).collect()
+        assert all(r.doc_a not in (0, 1, 2, 3) for r in pairs)
+
+    def test_ngram_jaccard_survives_short_docs(self, short_docs):
+        D.ngram_jaccard_pairs(short_docs, threshold=0.5).collect()
+
+    def test_winnow_survives_short_docs(self, short_docs):
+        # doc 4 has 6 k-gram hashes → 3 windows of w=4; docs 0-3 emit none
+        fps = D.winnow_fingerprints(short_docs, k=3, w=4).collect()
+        by_doc = {r.doc_id for r in fps}
+        assert by_doc == {4}
+
+    def test_winnow_doc_shorter_than_window(self, spark):
+        # 4 words → 2 trigram hashes < w=4 → no fingerprints, no crash
+        docs = spark.createDataFrame(
+            [(0, "just four little words")], "doc_id long, text string"
+        )
+        assert D.winnow_fingerprints(docs, k=3, w=4).collect() == []
+
+
 class TestMinhashLSH:
     def test_exact_dup_is_candidate_and_jaccard_one(self, docs):
         out = {
