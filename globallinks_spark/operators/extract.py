@@ -120,8 +120,8 @@ def explode_links(pages: DataFrame) -> DataFrame:
     is_absolute = P.is_absolute(href)
     link_host = U.url_host(href)
 
-    # binding Project: each parse/eTLD evaluated once per link row
-    bound = exploded.select(
+    # binding Project: each URL parse evaluated once per link row
+    bound_parts = exploded.select(
         "*",
         F.coalesce(F.col("l.text"), F.lit("")).alias("link_text"),
         F.greatest(
@@ -141,8 +141,16 @@ def explode_links(pages: DataFrame) -> DataFrame:
         _bind(F.when(is_absolute, U.url_path(href))).alias("link_path"),
         _bind(F.when(is_absolute, U.url_raw_query(href)))
         .alias("link_raw_query"),
-        _bind(F.when(is_absolute, U.etld_plus_one(link_host)))
-        .alias("link_domain"),
+    )
+    # SECOND binding Project: the eTLD+1 chain runs over the bound host
+    # attribute at the top level of its own Project. Wrapping it in
+    # when(is_absolute, …) instead re-evaluates split/parse_url per rule
+    # reference — codegen subexpression elimination skips conditional
+    # branches — measured 10× slower (see functions/binding.py). A null
+    # host (relative href) flows through the chain's own null guard.
+    bound = bound_parts.select(
+        "*",
+        _bind(U.etld_plus_one(F.col("link_host"))).alias("link_domain"),
     )
 
     # classification references only attributes — a small tree that stays

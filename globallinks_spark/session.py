@@ -38,7 +38,18 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "256m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
-    "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
+    # -XX:-DontCompileHugeMethods: whole-stage-codegen'd methods under ANSI
+    # mode (Spark 4 default) routinely exceed HotSpot's 8 KB bytecode JIT
+    # ceiling — the extraction kernel's fused Project+Filter then runs as
+    # INTERPRETED bytecode (measured 5× slower per row: 5.4 s → 1.2 s per
+    # 1M URL-kernel rows). Spark's own spark.sql.codegen.hugeMethodLimit
+    # (65535) only guards against Janino refusing to compile, not against
+    # the JIT refusing to optimize the 8-64 KB middle ground. Must be set
+    # at JVM launch; in local mode the driver JVM hosts the executors, and
+    # on a real cluster the executor option carries the same fix.
+    "spark.driver.extraJavaOptions":
+        "-Djava.net.preferIPv4Stack=true -XX:-DontCompileHugeMethods",
+    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
 }
 
 
