@@ -1,13 +1,15 @@
 """URL & domain kernel — P1-P11 of the operator inventory (SURVEY §2.2).
 
-Everything is a Column expression except ``etld_plus_one`` — the
+Everything is a Column expression, including ``etld_plus_one``: the
 public-suffix computation (reference: golang.org/x/net/publicsuffix via
-/root/reference/pkg/commoncrawl/wat.go:660-672). That is the engine's one
-mandatory pandas UDF; it memoizes per Python worker (the Spark analogue of
-the reference's domainCache, wat.go:139-143) and evaluates the standard PSL
-algorithm over a bundled suffix-rule snapshot (drop a full
-``public_suffix_list.dat`` next to this file to widen coverage — the
-algorithm is list-agnostic).
+/root/reference/pkg/commoncrawl/wat.go:660-672) evaluates the FULL
+bundled Mozilla PSL snapshot (~9.5k rules, ``functions/psl.py``) as a
+short when-chain of Catalyst ``InSet`` hash-probes — one per distinct
+suffix length, longest first — so it runs inside whole-stage codegen
+with no Python worker. ``etld_plus_one_udf`` is the same algorithm as a
+pandas UDF (per-worker memo cache, the analogue of the reference's
+domainCache, wat.go:139-143); it exists for API parity and as the
+cross-check in tests, not for the hot path.
 
 Semantics cited into the reference:
 - URL parse + host normalize + default path: buildURLRecord wat.go:623-678
@@ -19,103 +21,31 @@ Semantics cited into the reference:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from globallinks_spark.config import IGNORED_QUERY_PREFIXES
+from globallinks_spark.functions import psl
 
 # ---------------------------------------------------------------------------
-# Public-suffix rules. The PSL algorithm (publicsuffix.org/list/):
-#   1. take the longest matching rule (labels compared right-to-left;
-#      "*" matches exactly one label; "!" exception rules win outright)
-#   2. if no rule matches, the implicit rule is "*" (the bare TLD)
-#   3. registrable domain (eTLD+1) = public suffix + one preceding label.
-# Bundled snapshot: the implicit "*" rule already covers every single-label
-# TLD; we list common multi-level ICANN suffixes plus a few private-section
-# entries the reference's filters depend on (blogspot.com).
-_PSL_RULES: frozenset[str] = frozenset({
-    # UK / JP / AU / NZ / ZA / IN / KR / BR / MX / AR / TR / PL / CN / TW ...
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
-    "lg.jp",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
-    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "gov.in",
-    "ac.in", "edu.in", "res.in",
-    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
-    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
-    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr", "web.tr",
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "waw.pl",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
-    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
-    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
-    "com.my", "net.my", "org.my", "edu.my", "gov.my",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
-    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
-    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
-    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
-    "co.id", "web.id", "or.id", "ac.id", "sch.id", "go.id", "net.id",
-    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
-    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
-    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "info.ke",
-    # wildcard / exception examples from the PSL spec
-    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.mm",
-    # private-section entries the pipeline's filters reference
-    "blogspot.com", "github.io", "gitlab.io", "wordpress.com", "appspot.com",
-    "herokuapp.com", "netlify.app", "vercel.app", "web.app", "pages.dev",
-    "s3.amazonaws.com", "cloudfront.net", "azurewebsites.net",
-})
+# Public-suffix kernel. Rule data + the pure-Python spec live in
+# functions/psl.py (full bundled Mozilla snapshot, ~9.5k rules). The
+# names below are the stable test surface.
 
-# Per-worker memo cache (reference domainCache, wat.go:139-143).
-_etld1_cache: dict[str, str | None] = {}
+_PSL_RULES: frozenset[str] = psl.RULES
 
 
 def _psl_suffix_len(labels: list[str]) -> int:
     """Number of labels in the public suffix of ``labels`` per PSL rules."""
-    best = 1  # implicit "*" rule
-    n = len(labels)
-    for k in range(1, min(n, 5) + 1):
-        cand = ".".join(labels[n - k:])
-        if "!" + cand in _PSL_RULES:
-            return k - 1  # exception rule: suffix is one label shorter
-        if cand in _PSL_RULES:
-            best = max(best, k)
-        if k >= 2:
-            wild = "*." + ".".join(labels[n - k + 1:])
-            if wild in _PSL_RULES:
-                best = max(best, k)
-    return best
+    return psl.suffix_len(labels)
 
 
 def _etld1_one(host: str) -> str | None:
-    if not host:
-        return None
-    cached = _etld1_cache.get(host)
-    if cached is not None or host in _etld1_cache:
-        return cached
-    labels = host.strip(".").split(".")
-    out: str | None
-    if len(labels) < 2:
-        out = None  # bare TLD or dotless host: no registrable domain
-    else:
-        k = _psl_suffix_len(labels)
-        if k >= len(labels):
-            out = None  # the host IS a public suffix
-        else:
-            out = ".".join(labels[len(labels) - k - 1:])
-    _etld1_cache[host] = out
-    return out
+    return psl.etld_plus_one_py(host)
 
 
 @F.pandas_udf(T.StringType())
@@ -124,79 +54,216 @@ def etld_plus_one_udf(host: pd.Series) -> pd.Series:
     the host has none (unparseable / bare public suffix) — the reference
     drops those rows (wat.go:662-666 error path).
 
-    This is the full-PSL path (swap in a complete suffix-list snapshot and
-    the Python algorithm handles every rule). The extraction hot path uses
-    ``etld_plus_one`` below — a pure JVM expression over the same bundled
-    rules — because a per-link Python round trip dominated extraction cost
+    Same full-PSL algorithm as the JVM expression below (``psl.py`` is
+    the shared spec; its lru_cache is the analogue of the reference's
+    domainCache). Kept for API parity and as the cross-check in
+    tests/test_psl_properties.py — the hot path uses ``etld_plus_one``,
+    because a per-link Python round trip dominated extraction cost
     (measured 13× below the reference's pages/min baseline with the UDF,
     see bench_extract.py)."""
     return host.map(_etld1_one, na_action="ignore")
 
 
-# Rule set factored for the JVM expression: exceptions, exact multi-label
-# suffixes by label count, and wildcard tails (a "*.bd" rule makes any
-# 2-label suffix ending in "bd" public).
-_PSL_EXCEPTIONS: tuple[str, ...] = tuple(
-    r[1:] for r in _PSL_RULES if r.startswith("!")
-)
-_PSL_WILD_TAILS: tuple[str, ...] = tuple(
-    r[2:] for r in _PSL_RULES if r.startswith("*.")
-)
-_PSL_EXACT_BY_LEN: dict[int, tuple[str, ...]] = {}
-for _r in _PSL_RULES:
-    if not _r.startswith(("!", "*.")):
-        _PSL_EXACT_BY_LEN.setdefault(_r.count(".") + 1, ())
-        _PSL_EXACT_BY_LEN[_r.count(".") + 1] += (_r,)
+# Literal Columns are py4j objects; building ~9.5k of them costs ~1 s of
+# driver round trips, so build once per process and reuse (unresolved
+# literal expressions are plan-independent and outlive any one query;
+# the py4j gateway lives for the whole process).
+_psl_lit_cache: dict[tuple[str, int], list[Column]] = {}
 
 
-def etld_plus_one(host: Column) -> Column:
-    """P3 as a pure Column expression — same semantics as
-    ``etld_plus_one_udf`` over the bundled rules, evaluated inside
-    whole-stage codegen (no Python worker, no Arrow transfer).
+def _psl_lits(kind: str, k: int, values: frozenset[str]) -> list[Column]:
+    key = (kind, k)
+    if key not in _psl_lit_cache:
+        _psl_lit_cache[key] = [F.lit(v) for v in sorted(values)]
+    return _psl_lit_cache[key]
 
-    PSL evaluation compiles to a when-chain: exception rules first, then
-    exact suffixes longest-first, then wildcard-derived suffixes, then
-    the implicit "*" rule; eTLD+1 = suffix + one preceding label.
+
+def _etld_expr_parts(
+    host: Column,
+    big_markers: dict[int, Column] | None = None,
+) -> Column:
+    """The eTLD+1 Column tree over ``host``.
+
+    ``big_markers`` maps a suffix length s to a boolean Column that is
+    true when the host's length-s suffix is an exact rule of that
+    length — supplied by ``with_registrable_domain``'s broadcast joins
+    for the two lengths whose rule sets are large (5,771 two-label and
+    2,309 three-label rules). Lengths not in the dict probe an inline
+    ``InSet`` instead (fine for the remaining ~250 rules; pathological
+    for thousands: a ~9.5k-literal tree bloats every task binary and
+    generates methods the JIT takes tens of seconds to converge on).
     """
+    big_markers = big_markers or {}
     labels = F.split(host, r"\.")
     n = F.size(labels)
 
     def suffix(k: int) -> Column:
-        return F.concat_ws(".", F.slice(labels, n - F.lit(k - 1), k))
+        # greatest(start, 1) keeps the slice ANSI-legal for hosts with
+        # fewer than k labels (start 0 is an error); the (n >= k) term in
+        # every consumer makes the clamped value semantically inert. The
+        # clamp matters because codegen subexpression elimination may
+        # hoist these probes onto the guaranteed-evaluation path.
+        start = F.greatest(n - F.lit(k - 1), F.lit(1))
+        return F.concat_ws(".", F.slice(labels, start, k))
 
-    max_exact = max(_PSL_EXACT_BY_LEN, default=1)
-    slen: Column = F.lit(1)  # implicit "*": bare TLD
-    # build bottom-up so higher-priority rules sit earlier in the chain
-    chain = []
-    for exc in _PSL_EXCEPTIONS:
-        k = exc.count(".") + 1
-        chain.append(((n >= k) & (suffix(k) == exc), k - 1))
-    for k in sorted(_PSL_EXACT_BY_LEN, reverse=True):
-        chain.append(
-            ((n >= k) & suffix(k).isin(*_PSL_EXACT_BY_LEN[k]), k)
-        )
-        # a wildcard whose tail has k labels covers suffixes of k+1
-        tails_k = [t for t in _PSL_WILD_TAILS if t.count(".") + 1 == k]
-        if tails_k:
-            chain.append(((n >= k + 1) & suffix(k).isin(*tails_k), k + 1))
-    tails_other = [
-        t for t in _PSL_WILD_TAILS
-        if t.count(".") + 1 not in _PSL_EXACT_BY_LEN
+    def probe(s: int) -> Column | None:
+        out: Column | None = None
+        if s in big_markers:
+            out = big_markers[s]
+        elif s in psl.EXACT_BY_LEN:
+            out = suffix(s).isin(*_psl_lits("exact", s, psl.EXACT_BY_LEN[s]))
+        if s - 1 in psl.TAILS_BY_LEN:
+            wild = suffix(s - 1).isin(
+                *_psl_lits("tail", s - 1, psl.TAILS_BY_LEN[s - 1])
+            )
+            out = wild if out is None else (out | wild)
+        if out is None:
+            return None
+        return (n >= s) & out
+
+    # longest-match suffix length, branch-free: greatest() over one
+    # when(cond, s) per rung keeps every rung's condition on codegen's
+    # guaranteed-evaluation path, so the split/slice/concat subtrees are
+    # computed once per row and shared (a when-CHAIN puts rungs 2..k on
+    # the conditional path, where subexpression elimination is disabled —
+    # measured ~9 µs/row vs ~1 µs/row for this shape).
+    rungs = [
+        F.when(p, F.lit(s))
+        for s in range(psl.MAX_SUFFIX_LEN, 1, -1)
+        if (p := probe(s)) is not None
     ]
-    for k in sorted({t.count(".") + 1 for t in tails_other}, reverse=True):
-        ts = [t for t in tails_other if t.count(".") + 1 == k]
-        chain.append(((n >= k + 1) & suffix(k).isin(*ts), k + 1))
+    g = F.greatest(*rungs, F.lit(1)) if rungs else F.lit(1)
 
-    expr: Column | None = None
-    for cond, k in chain:
-        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
-    slen = expr.otherwise(F.lit(1)) if expr is not None else slen
+    # exception rules prevail over any longer match (PSL spec); applied
+    # as arithmetic select so nothing drops to the conditional path
+    slen: Column = g
+    for k in sorted(psl.EXCEPTIONS_BY_LEN):
+        exc = (
+            (n >= k)
+            & suffix(k).isin(*_psl_lits("exc", k, psl.EXCEPTIONS_BY_LEN[k]))
+        ).cast("int")
+        slen = exc * F.lit(k - 1) + (F.lit(1) - exc) * slen
 
-    out = F.concat_ws(".", F.slice(labels, n - slen, slen + F.lit(1)))
+    start = F.greatest(n - slen, F.lit(1))  # ANSI clamp, as above
+    out = F.concat_ws(".", F.slice(labels, start, slen + F.lit(1)))
     return F.when(
         host.isNull() | (host == "") | ~host.contains(".") | (n <= slen),
         F.lit(None).cast("string"),
     ).otherwise(out)
+
+
+def _build_etld_expr(host: Column) -> Column:
+    """Pure-expression eTLD+1 (all rule sets inline). See
+    ``etld_plus_one`` for when this is the right shape."""
+    return _etld_expr_parts(host)
+
+
+# Broadcast suffix tables for the two large rule lengths, cached per
+# SparkSession (a DataFrame is session-bound; the underlying local
+# relation is ~100 KB and broadcasts once per query).
+_suffix_df_cache: dict[tuple[int, int], "DataFrame"] = {}
+
+
+def _suffix_df(spark, k: int):
+    key = (id(spark), k)
+    if key not in _suffix_df_cache:
+        _suffix_df_cache[key] = spark.createDataFrame(
+            [(r,) for r in sorted(psl.EXACT_BY_LEN[k])],
+            f"__psl_s{k} string",
+        ).withColumn(f"__psl_m{k}", F.lit(True))
+    return _suffix_df_cache[key]
+
+
+def with_registrable_domain(
+    df: "DataFrame", host_col: str, out_col: str, bind: bool = False
+) -> "DataFrame":
+    """eTLD+1 as a broadcast-join transform — the 100 TB hot path.
+
+    The inline-expression form (``etld_plus_one``) embeds ~9.5k string
+    literals in the plan: every task binary carries the serialized sets
+    (~1.8 MB), generated methods balloon, and HotSpot needs tens of
+    seconds of C2 time per stage to reach steady state — measured 2×
+    end-to-end extraction slowdown even warm. This form moves the two
+    big rule sets (two- and three-label exact rules) into broadcast hash
+    joins: the host's length-2 and length-3 suffixes are computed once,
+    left-joined against ~8 k-row broadcast tables (map-side, no
+    shuffle, no row multiplication — rule tables are distinct), and the
+    remaining ~250 rules (4/5-label exacts, wildcard tails, exceptions)
+    stay as small inline ``InSet`` probes. Per-row cost: one split, two
+    broadcast-hash probes, ~6 small set probes.
+
+    Reference semantics: publicsuffix.EffectiveTLDPlusOne
+    (wat.go:660-672); parity with the pure-Python spec is pinned by
+    tests/test_psl_full.py.
+    """
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def suffix(k: int) -> Column:
+        start = F.greatest(n - F.lit(k - 1), F.lit(1))
+        return F.concat_ws(".", F.slice(labels, start, k))
+
+    spark = df.sparkSession
+    joined = df.withColumns(
+        {"__psl_s2": suffix(2), "__psl_s3": suffix(3)}
+    )
+    joined = joined.join(
+        F.broadcast(_suffix_df(spark, 2)), on="__psl_s2", how="left"
+    )
+    joined = joined.join(
+        F.broadcast(_suffix_df(spark, 3)), on="__psl_s3", how="left"
+    )
+    markers = {
+        2: F.col("__psl_m2").isNotNull(),
+        3: F.col("__psl_m3").isNotNull(),
+    }
+    out = _etld_expr_parts(host, big_markers=markers)
+    if bind:
+        # pipelines with many downstream consumers (classification,
+        # dedup keys, filters) must bind the domain behind the
+        # optimization barrier, or CollapseProject/pushdown re-inlines
+        # the whole tree per reference (measured 1,110 split() copies in
+        # the extraction plan without it). Batch-only barrier.
+        from globallinks_spark.functions.binding import bind_once
+        out = bind_once(out)
+    return joined.withColumn(out_col, out).drop(
+        "__psl_s2", "__psl_s3", "__psl_m2", "__psl_m3"
+    )
+
+
+# ~9.5k-literal trees cost ~1 s of py4j round trips per build, so built
+# trees are memoized per *simple column name* (a Column is an immutable
+# expression tree; one tree can appear in any number of plans). Complex
+# inputs fall through to a fresh build — hot paths bind the host to an
+# attribute first (operators/extract.py does; see also q_url_parse).
+_etld_expr_cache: dict[str, Column] = {}
+_SIMPLE_COL_RE = re.compile(r"^Column<'([A-Za-z_][A-Za-z0-9_]*)'>$")
+
+
+def etld_plus_one(host: Column) -> Column:
+    """P3 as a pure Column expression over the FULL bundled PSL — same
+    semantics as ``etld_plus_one_udf``, evaluated inside whole-stage
+    codegen (no Python worker, no Arrow transfer).
+
+    Shape: one ``InSet`` hash-probe per distinct suffix length (exact
+    rules of length s merged with wildcard tails of length s-1, both
+    yielding suffix length s), combined longest-match-first via a
+    branch-free ``greatest``; the 8 exception rules override via an
+    arithmetic select (per the PSL spec they prevail over longer
+    matches). ~10 set probes per row total, each O(1): Catalyst converts
+    ``isin`` over >400 literals into a hash-set ``InSet``, so rule count
+    does not affect per-row cost, and the branch-free shape keeps every
+    subtree eligible for codegen subexpression elimination (the host is
+    split exactly once per row).
+    """
+    m = _SIMPLE_COL_RE.match(str(host))
+    if m is None:
+        return _build_etld_expr(host)
+    name = m.group(1)
+    if name not in _etld_expr_cache:
+        _etld_expr_cache[name] = _build_etld_expr(F.col(name))
+    return _etld_expr_cache[name]
 
 
 # ---------------------------------------------------------------------------

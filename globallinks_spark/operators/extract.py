@@ -68,17 +68,30 @@ def pages_with_url_record(wat_pages: DataFrame) -> DataFrame:
     gated = wat_pages.filter(uri.startswith("http") & ~uri.contains("\n"))
 
     host = U.url_host(uri)
+    # Explicit column list, not "*": a broadcast join follows, and join
+    # output rows are materialized (UnsafeRow copy) — carrying the raw
+    # metas/head_links arrays and envelope scalars through it costs more
+    # than the join itself. metas collapses to the two robots flags and
+    # head_links to the (rare, short) canonicals array right here; only
+    # the links array must survive to the explode.
     bound = gated.select(
-        "*",
+        F.col("title"),
+        F.col("links"),
+        _canonicals(F.col("head_links")).alias("canonicals"),
         U.scheme_code(U.url_scheme(uri)).alias("page_scheme"),
         _bind(host).alias("page_host"),
         _bind(U.url_path(uri)).alias("page_path"),
         _bind(U.url_raw_query(uri)).alias("page_raw_query"),
-        _bind(U.etld_plus_one(host)).alias("page_domain"),
         _robots_flag(F.col("metas"), "noindex").alias("no_index"),
         _robots_flag(F.col("metas"), "nofollow").alias("page_no_follow"),
         F.to_date(F.col("warc_date")).alias("date_imported"),
         F.coalesce(F.col("warc_ip"), F.lit("")).alias("ip"),
+    )
+    # eTLD+1 over the bound host attribute via the broadcast suffix-table
+    # join (full PSL; map-side, no shuffle — see with_registrable_domain);
+    # bound so the F7 gate below references an attribute, not the tree
+    bound = U.with_registrable_domain(
+        bound, "page_host", "page_domain", bind=True
     )
     return bound.filter(
         P.path_ok(F.col("page_path"))
@@ -94,7 +107,7 @@ def content_quality_gate(pages: DataFrame) -> DataFrame:
     predicate only references already-computed columns, so pushdown
     duplicates nothing heavy."""
     canon_ok = F.forall(
-        _canonicals(F.col("head_links")),
+        F.col("canonicals"),
         lambda c: P.canonical_ok(
             F.col("page_host"), F.col("page_path"),
             F.col("page_raw_query"), c,
@@ -112,8 +125,15 @@ def explode_links(pages: DataFrame) -> DataFrame:
     One Project computes the link kernel AND the classification; the
     anchor gate (F3) runs on the raw exploded struct before any kernel
     work."""
+    # Explicit column list again: the link-side broadcast join below
+    # materializes every exploded row, so only the slim page scalars may
+    # ride along (the links array is consumed here; canonicals was only
+    # for the page gate).
     exploded = pages.select(
-        "*", F.explode(F.col("links")).alias("l")
+        "page_host", "page_path", "page_raw_query", "page_scheme",
+        "page_domain", "no_index", "page_no_follow", "date_imported",
+        "ip", "title",
+        F.explode(F.col("links")).alias("l"),
     ).filter(P.is_anchor(F.col("l.path")))  # F3 — <a href> only
 
     href = F.col("l.url")
@@ -142,15 +162,13 @@ def explode_links(pages: DataFrame) -> DataFrame:
         _bind(F.when(is_absolute, U.url_raw_query(href)))
         .alias("link_raw_query"),
     )
-    # SECOND binding Project: the eTLD+1 chain runs over the bound host
-    # attribute at the top level of its own Project. Wrapping it in
-    # when(is_absolute, …) instead re-evaluates split/parse_url per rule
-    # reference — codegen subexpression elimination skips conditional
-    # branches — measured 10× slower (see functions/binding.py). A null
-    # host (relative href) flows through the chain's own null guard.
-    bound = bound_parts.select(
-        "*",
-        _bind(U.etld_plus_one(F.col("link_host"))).alias("link_domain"),
+    # eTLD+1 over the bound host attribute via the broadcast suffix-table
+    # join (full PSL; map-side, no shuffle), bound behind the barrier so
+    # the dozens of downstream references (classification, dedup keys,
+    # subdomain) see an attribute instead of re-inlining the tree. A null
+    # host (relative href) misses both joins and null-guards through.
+    bound = U.with_registrable_domain(
+        bound_parts, "link_host", "link_domain", bind=True
     )
 
     # classification references only attributes — a small tree that stays

@@ -345,17 +345,18 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?"), query,
     )
     df = c.select("c_custkey", url.alias("url"))
-    return df.select(
+    parsed = df.select(
         "c_custkey",
         U.scheme_code(U.url_scheme(F.col("url"))).alias("scheme_code"),
         U.url_host(F.col("url")).alias("host"),
         U.url_path(F.col("url")).alias("path"),
         U.url_raw_query(F.col("url")).alias("raw_query"),
-        U.etld_plus_one(U.url_host(F.col("url"))).alias("domain"),
-        U.subdomain(
-            U.url_host(F.col("url")),
-            U.etld_plus_one(U.url_host(F.col("url"))),
-        ).alias("sub_domain"),
+    )
+    # eTLD+1 via the production broadcast suffix-table join (full PSL)
+    parsed = U.with_registrable_domain(parsed, "host", "domain")
+    return parsed.select(
+        "c_custkey", "scheme_code", "host", "path", "raw_query", "domain",
+        U.subdomain(F.col("host"), F.col("domain")).alias("sub_domain"),
     )
 
 
