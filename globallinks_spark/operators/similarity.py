@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from globallinks_spark.functions import vectors as V
 
@@ -72,6 +73,43 @@ def bucketed_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def _assign_cells(
+    df: DataFrame, cents, vec_col: str
+) -> DataFrame:
+    """Vectorized cell assignment: broadcast the (n_cells × dim) centroid
+    matrix and argmin squared distance in one Arrow-batched matrix
+    multiply per batch. The round-1 formulation embedded one literal
+    expression tree per centroid (n_cells × dim literals — ~3M plan
+    nodes at dim=768/n_cells=4096, an analysis-time blowup before a
+    single row moves); here the plan carries ONE mapInPandas node and
+    the matrix rides a broadcast variable, so index size never touches
+    plan size. dot(v, v) is constant under argmin and omitted."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(cents, dtype=np.float64)
+    )
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        C = bc.value
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).to_numpy())
+            d = c2[None, :] - 2.0 * (M @ C.T)
+            pdf = pdf.copy()
+            # np.argmin takes the FIRST minimum — same tie-break as the
+            # previous array_position(array_min) formulation
+            pdf["cell"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -83,68 +121,88 @@ def build_ivf_index(
     assignment.
 
     Deterministic by construction: centroids seed from an id-stride
-    sample (not random), Lloyd iterations are fixed-count, and means are
-    computed per-dimension with Spark aggregates. Centroids collect to
-    the driver (n_cells × dim floats — parameters, not data) and ship
-    back inside the plan as literals, the broadcast pattern for small
-    model state.
+    sample (not random), Lloyd iterations are fixed-count, and numpy
+    float64 reductions are order-stable within a batch. Centroids live
+    on the driver as an (n_cells × dim) matrix (parameters, not data)
+    and ship to executors as a broadcast variable — never as plan
+    literals.
+
+    Per Lloyd iteration: ONE job. A mapInPandas pass assigns cells and
+    emits per-batch partial sums (cell, count, sum-vector) — the
+    map-side combine — then applyInPandas reduces the ≤ partitions ×
+    n_cells partials per cell and only n_cells rows collect. At 100 TB
+    that is one narrow scan plus a shuffle of n_cells × n_partitions
+    tiny rows per iteration; the final assignment is returned lazily
+    (no extra job).
 
     Returns (centroids, assigned) where assigned = embeddings + ``cell``.
-    At 100 TB the assignment pass is one narrow scan per iteration; the
-    per-cell mean is a groupBy on n_cells keys (tiny shuffle).
     """
-    from globallinks_spark.functions.binding import bind_once
+    import numpy as np
 
-    dim = len(embeddings.select(vec_col).first()[0])
-
-    def with_cell(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        # one distance expression per cell collected into an array, cell =
-        # argmin via array_position. A running-min when-chain would embed
-        # the previous best twice per step — a 2^n_cells expression tree
-        # that OOMs the driver during analysis before a single row moves.
-        # (dot(v,v) is constant under argmin and omitted.)
-        dists = F.array(*[
-            F.lit(sum(x * x for x in c))
-            - 2 * V.dot(
-                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
-            )
-            for c in cents
-        ])
-        return (
-            df.withColumn("_dists", bind_once(dists))
-            .withColumn(
-                "cell",
-                (F.array_position(F.col("_dists"), F.array_min("_dists"))
-                 - 1).cast("int"),
-            )
-            .drop("_dists")
-        )
+    # iterative algorithm: cache the input for the seed + per-iteration
+    # passes (Spark's ContextCleaner unpersists when the frame is GC'd,
+    # so a one-shot build leaks nothing)
+    embeddings = embeddings.persist()
 
     # seed: evenly-strided sample by id order (deterministic)
-    seeds = (
-        embeddings.orderBy(id_col).limit(n_cells * 7)
-        .collect()
+    seeds = embeddings.orderBy(id_col).limit(n_cells * 7).collect()
+    centroids = np.asarray(
+        [
+            [float(x) for x in seeds[min(i * 7, len(seeds) - 1)][vec_col]]
+            for i in range(min(n_cells, len(seeds)))
+        ],
+        dtype=np.float64,
     )
-    centroids = [
-        [float(x) for x in seeds[min(i * 7, len(seeds) - 1)][vec_col]]
-        for i in range(min(n_cells, len(seeds)))
-    ]
+
+    spark = embeddings.sparkSession
+    partial_schema = (
+        "cell int, cnt long, sums array<double>"
+    )
 
     for _ in range(iterations):
-        assigned = with_cell(embeddings, centroids)
-        means = assigned.groupBy("cell").agg(
-            *[
-                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
-                for i in range(dim)
-            ]
-        ).collect()
-        by_cell = {r["cell"]: [r[f"d{i}"] for i in range(dim)] for r in means}
-        centroids = [
-            by_cell.get(ci, centroids[ci]) for ci in range(len(centroids))
-        ]
+        bc = spark.sparkContext.broadcast(centroids)
 
-    assigned = with_cell(embeddings, centroids)
-    return centroids, assigned
+        def partials(batches):
+            import pandas as pd  # local import: runs on executors
+
+            C = bc.value
+            c2 = (C * C).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf[vec_col].map(np.asarray).to_numpy())
+                cell = (c2[None, :] - 2.0 * (M @ C.T)).argmin(axis=1)
+                sums = np.zeros_like(C)
+                np.add.at(sums, cell, M)
+                cnt = np.bincount(cell, minlength=C.shape[0])
+                live = np.flatnonzero(cnt)
+                yield pd.DataFrame({
+                    "cell": live.astype("int32"),
+                    "cnt": cnt[live].astype("int64"),
+                    "sums": list(sums[live]),
+                })
+
+        def reduce_cell(pdf):
+            import pandas as pd
+
+            return pd.DataFrame({
+                "cell": [int(pdf["cell"].iloc[0])],
+                "cnt": [int(pdf["cnt"].sum())],
+                "sums": [np.sum(np.stack(pdf["sums"].to_numpy()), axis=0)],
+            })
+
+        rows = (
+            embeddings.mapInPandas(partials, partial_schema)
+            .groupBy("cell")
+            .applyInPandas(reduce_cell, partial_schema)
+            .collect()
+        )
+        centroids = centroids.copy()
+        for r in rows:  # empty cells keep their previous centroid
+            centroids[r["cell"]] = np.asarray(r["sums"]) / r["cnt"]
+
+    assigned = _assign_cells(embeddings, centroids, vec_col)
+    return [list(map(float, c)) for c in centroids], assigned
 
 
 def ivf_topk(

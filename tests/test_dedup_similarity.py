@@ -252,3 +252,30 @@ class TestIVF:
             for r in S.ivf_topk(corpus, q, k=5, n_cells=8, n_probe=8).collect()
         ]
         assert exact == full
+
+    def test_realistic_dimensions_plan_and_run(self, spark):
+        """dim=128 / n_cells=256: the round-1 literal-centroid
+        formulation put n_cells × dim ≈ 33k literals into the plan (and
+        ~3M at production 768/4096 — an analysis-time blowup). The
+        broadcast-matrix path must build and search this size in one
+        short job chain."""
+        import numpy as np
+
+        rng = np.random.RandomState(42)
+        dim, n = 128, 2048
+        M = rng.normal(size=(n, dim)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, M[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        cents, assigned = S.build_ivf_index(
+            df, n_cells=256, iterations=1
+        )
+        assert len(cents) == 256 and len(cents[0]) == dim
+        counts = assigned.groupBy("cell").count().collect()
+        assert sum(r["count"] for r in counts) == n
+        assert all(0 <= r["cell"] < 256 for r in counts)
+        q = M[7].tolist()
+        hits = S.ivf_topk(df, q, k=5, n_cells=64, n_probe=8).collect()
+        # the query vector itself must be its own nearest neighbour
+        assert hits and hits[0].vec_id == 7
