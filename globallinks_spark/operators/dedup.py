@@ -23,6 +23,19 @@ from globallinks_spark.functions import hashing as H
 from globallinks_spark.functions import text as TX
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input arrives with fewer partitions
+    than cores (a small local parquet lands as one partition and would
+    serialize a hash-heavy scan onto one task). An already-parallel
+    input — any real corpus, where maxPartitionBytes yields thousands of
+    splits — passes through untouched: an unconditional repartition here
+    was a gratuitous full-corpus shuffle at 100 TB (round-1 verdict)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= par:
+        return docs
+    return docs.repartition(par)
+
+
 def with_shingle_hashes(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
@@ -31,13 +44,11 @@ def with_shingle_hashes(
     Staged through named columns (words → shingles → hashes) so each
     level evaluates once per row; inlining ``words(text)`` into the three
     ``element_at`` calls of every k-gram makes tokenization quadratic in
-    document length (measured 30× slower). The repartition spreads the
-    hash-heavy scan across cores — small parquet inputs otherwise arrive
-    as a single partition and serialize the whole corpus onto one task.
+    document length (measured 30× slower). ``_spread`` parallelizes
+    small single-partition inputs without shuffling big ones.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(par)
+        _spread(docs)
         .select(F.col(id_col).alias("doc_id"),
                 TX.words(F.col(text_col)).alias("w"))
         .select("doc_id", TX.shingles(F.col("w"), k).alias("sh"))
@@ -243,9 +254,8 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """
     from globallinks_spark.functions.hashing import h30
 
-    par = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
-        docs.repartition(par)
+        _spread(docs)
         .select("doc_id", F.explode(TX.words(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
@@ -287,9 +297,8 @@ def winnow_fingerprints(
     """
     from globallinks_spark.functions.text import shingles_seq, words
 
-    par = docs.sparkSession.sparkContext.defaultParallelism
     hs = (
-        docs.repartition(par)
+        _spread(docs)
         .select(F.col(id_col).alias("doc_id"),
                 words(F.col(text_col)).alias("wd"))
         .select("doc_id", shingles_seq(F.col("wd"), k).alias("sh"))

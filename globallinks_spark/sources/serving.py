@@ -31,15 +31,27 @@ def domain_bucket(domain: F.Column, buckets: int = DEFAULT_BUCKETS) -> F.Column:
 
 
 def write_serving_table(
-    df: DataFrame, path: str, buckets: int = DEFAULT_BUCKETS
+    df: DataFrame, path: str, buckets: int = DEFAULT_BUCKETS,
+    writers_per_bucket: int = 4,
 ) -> None:
     """Write compacted link rows partitioned by domain bucket. Rows are
-    pre-shuffled to the partition column so each task writes one directory
-    (avoids the many-small-files explosion of partitionBy on unsorted
-    input)."""
+    pre-shuffled on (bucket, salt) so each directory is written by up to
+    ``writers_per_bucket`` parallel tasks instead of exactly one — at the
+    1024-bucket design point a bucket holds ~100 GB (SCALING.md), and a
+    single-task-per-bucket write (round 1) made every bucket a 100 GB
+    straggler, doubled when two bucket values hash-collide into one
+    task. Salting by a row-content hash keeps the shuffle balanced while
+    still bounding files-per-directory at writers_per_bucket (no
+    many-small-files explosion of partitionBy on unsorted input)."""
+    salt = F.pmod(
+        F.xxhash64("link_sub_domain", "link_path", "page_host"),
+        F.lit(writers_per_bucket),
+    )
     (
         df.withColumn(_BUCKET_COL, domain_bucket(F.col("link_domain"), buckets))
-        .repartition(buckets, _BUCKET_COL)
+        .withColumn("_salt", salt)
+        .repartition(buckets * writers_per_bucket, _BUCKET_COL, F.col("_salt"))
+        .drop("_salt")
         .write.mode("overwrite")
         .partitionBy(_BUCKET_COL)
         .parquet(path)

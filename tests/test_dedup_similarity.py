@@ -214,6 +214,25 @@ class TestSimilarity:
         assert (0, 4) in {(r.vec_a, r.vec_b) for r in out}
 
 
+class TestSpread:
+    def test_already_parallel_input_passes_through(self, spark):
+        """_spread must not shuffle an input that already has >= cores
+        partitions (at 100 TB every corpus does) — round-1 repartitioned
+        unconditionally, a gratuitous full-corpus shuffle."""
+        from globallinks_spark.operators.dedup import _spread
+
+        par = spark.sparkContext.defaultParallelism
+        wide = spark.range(0, 10_000, 1, numPartitions=par)
+        assert _spread(wide) is wide
+
+    def test_single_partition_input_is_spread(self, spark):
+        from globallinks_spark.operators.dedup import _spread
+
+        par = spark.sparkContext.defaultParallelism
+        narrow = spark.range(0, 100, 1, numPartitions=1)
+        assert _spread(narrow).rdd.getNumPartitions() == par
+
+
 class TestIVF:
     @pytest.fixture(scope="class")
     def corpus(self, spark):

@@ -98,3 +98,36 @@ class TestPipeline:
         )._jdf.queryExecution().executedPlan().toString()
         # the bucket predicate must reach the scan as partition pruning
         assert "domain_bucket" in plan
+
+    def test_salted_write_fans_out_hot_buckets(self, spark, tmp_path):
+        """A bucket directory must be written by multiple tasks (round-1
+        wrote each bucket with exactly one task → a 100 GB straggler at
+        the 1024-bucket design point), without breaking pruning."""
+        import glob
+
+        from globallinks_spark.sources.serving import (
+            read_serving_table, write_serving_table,
+        )
+
+        rows = [
+            ("hot.example.com", f"s{i % 37}", f"/p/{i}", "", "2",
+             f"page{i}.org", "/", "", "2", f"t{i}", 0, 0,
+             "2023-01-01", "1.2.3.4")
+            for i in range(4000)
+        ]
+        df = spark.createDataFrame(rows, [
+            "link_domain", "link_sub_domain", "link_path", "link_raw_query",
+            "link_scheme", "page_host", "page_path", "page_raw_query",
+            "page_scheme", "link_text", "no_follow", "no_index",
+            "date_imported", "ip",
+        ])
+        path = str(tmp_path / "srv")
+        write_serving_table(df, path, buckets=2, writers_per_bucket=4)
+        # every row lands in ONE bucket dir (single domain); that dir
+        # must contain several part files — one per salted writer task
+        dirs = glob.glob(os.path.join(path, "domain_bucket=*"))
+        files = glob.glob(os.path.join(path, "domain_bucket=*", "part-*"))
+        assert len(dirs) == 1
+        assert len(files) > 1
+        got = read_serving_table(spark, path, domain="hot.example.com")
+        assert got.count() == 4000
