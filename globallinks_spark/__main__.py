@@ -1,9 +1,11 @@
 """CLI mirroring the reference's three binaries plus the query surface.
 
+    python -m globallinks_spark fetch  <archive> <data_dir> [segment]
     python -m globallinks_spark import <out_dir> <segment> <wat_file...>
     python -m globallinks_spark compact <out_dir> <segment>
     python -m globallinks_spark store <out_dir> <serving_path> [buckets]
     python -m globallinks_spark query <serving_path> <domain> [limit] [page]
+    python -m globallinks_spark serve <serving_path> [port]
 
 (reference: cmd/importer, cmd/importer compacting mode, cmd/storelinks,
 cmd/linksapi — /root/reference/cmd/*/main.go)
@@ -25,7 +27,13 @@ def main(argv: list[str]) -> int:
     from globallinks_spark import runner
     from globallinks_spark.operators.linkdb import LinkQuery, to_json_response
 
-    if cmd == "import" and len(argv) >= 5:
+    if cmd == "fetch" and len(argv) in (4, 5):
+        local = runner.run_fetch(
+            spark, argv[2], argv[3], argv[4] if len(argv) == 5 else None
+        )
+        for p in local:
+            print(p)
+    elif cmd == "import" and len(argv) >= 5:
         runner.run_import(spark, argv[4:], argv[2], argv[3])
     elif cmd == "compact" and len(argv) == 4:
         runner.run_compact(spark, argv[2], argv[3])
@@ -40,6 +48,10 @@ def main(argv: list[str]) -> int:
         )
         for line in to_json_response(runner.query_links(spark, argv[2], q)):
             print(line)
+    elif cmd == "serve" and len(argv) in (3, 4):
+        from globallinks_spark.httpapi import serve
+
+        serve(spark, argv[2], int(argv[3]) if len(argv) == 4 else 8010)
     else:
         print(__doc__)
         return 2

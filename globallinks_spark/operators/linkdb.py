@@ -171,18 +171,15 @@ def get_domain_links(serving: DataFrame, q: LinkQuery) -> DataFrame:
 
 def to_json_response(result: DataFrame) -> list[str]:
     """K5 — render a (already paginated, ≤100-row) query result as JSON
-    strings matching the reference's LinkOut field names
-    (pkg/linkdb/models.go:28-38, marshal handler.go:66-72). The collect
-    is bounded by MAX_LIMIT — this is the API edge, not a data path."""
+    strings matching the reference's LinkOut JSON tags field-for-field
+    (pkg/linkdb/models.go:28-38: link_url, page_url, link_text,
+    no_follow, no_index, date_from, date_to, ip, qty; marshal
+    handler.go:66-72). The collect is bounded by MAX_LIMIT — this is the
+    API edge, not a data path."""
     renamed = result.select(
-        F.col("link_url").alias("linkUrl"),
-        F.col("page_url").alias("pageUrl"),
-        F.col("link_text").alias("linkText"),
-        F.col("no_follow").alias("noFollow"),
-        F.col("no_index").alias("noIndex"),
-        F.date_format("date_from", "yyyy-MM-dd").alias("dateFrom"),
-        F.date_format("date_to", "yyyy-MM-dd").alias("dateTo"),
-        F.col("ip").alias("ips"),
-        F.col("qty").alias("qty"),
+        "link_url", "page_url", "link_text", "no_follow", "no_index",
+        F.date_format("date_from", "yyyy-MM-dd").alias("date_from"),
+        F.date_format("date_to", "yyyy-MM-dd").alias("date_to"),
+        "ip", "qty",
     )
     return [row for row in renamed.toJSON().collect()]

@@ -81,6 +81,48 @@ def run_store(
     SV.write_serving_table(df.drop("segment"), serving_path, buckets)
 
 
+def run_fetch(
+    spark: SparkSession,
+    archive_name: str,
+    data_dir: str,
+    segment: str | None = None,
+    base_url: str | None = None,
+    throttle_sec: float | None = None,
+) -> list[str]:
+    """S2: download the archive manifest, pick the next segment (lowest
+    id not yet imported — O5), download its WAT files with retry/
+    throttle, and return the local paths ready for ``run_import``.
+    Mirrors InitImport + the importer's download loop
+    (wat.go:147-218, main.go:227-263)."""
+    from globallinks_spark.sources import fetch as FE
+    from globallinks_spark.sources.wat import select_segment, wat_manifest
+
+    kw = {}
+    if base_url is not None:
+        kw["base_url"] = base_url
+    manifest_path = FE.fetch_manifest(archive_name, data_dir, **kw)
+    manifest = wat_manifest(spark, manifest_path)
+    done = {
+        s for s in os.listdir(os.path.join(data_dir, "links"))
+        if _done(os.path.join(data_dir, "links", s))
+    } if os.path.isdir(os.path.join(data_dir, "links")) else set()
+    done = {s.removeprefix("segment=") for s in done}
+    seg = select_segment(manifest, done, segment)
+    if seg is None:
+        return []
+    rels = [
+        r.wat_path
+        for r in manifest.filter(f"segment = '{seg}'")
+        .orderBy("file_number").collect()
+    ]
+    tkw = dict(kw)
+    if throttle_sec is not None:
+        tkw["throttle_sec"] = throttle_sec
+    return FE.fetch_wat_files(
+        rels, os.path.join(data_dir, "wat", seg), **tkw
+    )
+
+
 def query_links(
     spark: SparkSession, serving_path: str, request: LinkQuery,
 ) -> DataFrame:

@@ -79,8 +79,14 @@ class TestJsonResponse:
         )
         assert len(out) == 1
         doc = json.loads(out[0])
-        assert doc["linkUrl"] == "https://d.com/p"
-        assert doc["pageUrl"] == "https://s.com/a"
-        assert doc["dateFrom"] == "2023-01-01"
-        assert doc["ips"] == ["1.1.1.1"]
+        # field names must match the reference's LinkOut JSON tags
+        # exactly (models.go:28-38)
+        assert doc["link_url"] == "https://d.com/p"
+        assert doc["page_url"] == "https://s.com/a"
+        assert doc["date_from"] == "2023-01-01"
+        assert doc["ip"] == ["1.1.1.1"]
         assert doc["qty"] == 2
+        assert set(doc) == {
+            "link_url", "page_url", "link_text", "no_follow", "no_index",
+            "date_from", "date_to", "ip", "qty",
+        }
