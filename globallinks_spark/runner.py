@@ -10,11 +10,18 @@ layer would wrap it 1:1 — the query surface is operators/linkdb.py).
 
 Idempotent restart (reference: skip WAT file if its output exists,
 cmd/importer/main.go:227-234; mark segment done if sort_N exists,
-wat.go:1053-1062) maps to *segment-level output existence* here: a
-segment whose ``_SUCCESS`` marker exists is skipped. Spark's atomic
-job-commit protocol makes the marker trustworthy — a killed run leaves
-no _SUCCESS and the rerun overwrites cleanly. Per-file checkpointing
-(finer grain) is available via streaming.ingest.stream_ingest.
+wat.go:1053-1062) at two granularities:
+
+- ``run_import`` — segment-level: a segment whose ``_SUCCESS`` marker
+  exists is skipped. Spark's atomic job-commit protocol makes the
+  marker trustworthy — a killed run leaves no _SUCCESS and the rerun
+  overwrites cleanly.
+- ``run_import_incremental`` — FILE-level, the reference's actual
+  granularity: an AvailableNow file-source stream whose checkpoint
+  commit log records which WAT files each committed micro-batch
+  consumed; a rerun after a mid-segment crash redoes at most one
+  uncommitted batch (exactly-once via per-batch-id overwrite), not the
+  whole segment.
 """
 
 from __future__ import annotations
@@ -54,6 +61,52 @@ def run_import(
         X.extract_pages(pages).write.mode("overwrite").parquet(pages_out)
 
 
+def run_import_incremental(
+    spark: SparkSession,
+    wat_dir: str,
+    out_dir: str,
+    segment: str,
+    max_files_per_trigger: int = 4,
+) -> None:
+    """Per-FILE restart granularity for import — the reference skips an
+    individual WAT file whose output already exists
+    (cmd/importer/main.go:227-234); ``run_import`` only restarts per
+    segment, so a mid-segment crash redid up to ~900 files of work.
+
+    Spark-native equivalent: a file-source stream over the segment's WAT
+    directory with ``Trigger.AvailableNow`` — the checkpoint's commit
+    log records exactly which files each committed micro-batch consumed,
+    so a rerun (after a crash OR after new files land) processes only
+    unseen files. foreachBatch receives the text lines as a plain batch
+    DataFrame, so the batch extraction plan applies unchanged; each
+    micro-batch overwrites its own ``batch=<id>`` directory, making
+    replay of an uncommitted batch exactly-once (same id → same dir).
+    The ``batch=`` layer reads back as a partition column; run_compact
+    drops it."""
+    links_out = os.path.join(out_dir, "links", f"segment={segment}")
+    ckpt = os.path.join(out_dir, "checkpoints", f"segment={segment}")
+    from globallinks_spark.sources.wat import wat_pages_from_lines
+
+    raw = (
+        spark.readStream
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(os.path.join(wat_dir, "*.warc.wat.gz"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(links_out, f"batch={batch_id}")
+        X.extract_links(wat_pages_from_lines(batch_df)) \
+            .write.mode("overwrite").parquet(out)
+
+    q = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_compact(spark: SparkSession, out_dir: str, segment: str) -> None:
     """Segment finalize: distinct (A4) + group-merge (A5) → 16-col
     compacted parquet (compactSegmentData, main.go:507-564)."""
@@ -63,6 +116,8 @@ def run_compact(spark: SparkSession, out_dir: str, segment: str) -> None:
     links = spark.read.parquet(
         os.path.join(out_dir, "links", f"segment={segment}")
     )
+    if "batch" in links.columns:  # incremental-import layout
+        links = links.drop("batch")
     C.compact_segment(links).write.mode("overwrite").parquet(compact_out)
 
 

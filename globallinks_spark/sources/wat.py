@@ -31,6 +31,14 @@ def _line_looks_like_record() -> "F.Column":
 def read_wat_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """One row per crawled page: (target_uri, warc_date, warc_ip, title,
     metas, head_links, links) — links still nested, exploded downstream.
+    """
+    return wat_pages_from_lines(spark.read.text(paths))
+
+
+def wat_pages_from_lines(raw: DataFrame) -> DataFrame:
+    """The line-frame → page-frame transform behind ``read_wat_pages``,
+    factored out so the incremental import's foreachBatch (which receives
+    the text lines as a batch DataFrame) applies the identical plan.
 
     The string-level filter runs before ``from_json`` so non-record lines
     never pay JSON parsing (the reference's early-filter ordering, SURVEY
@@ -38,7 +46,6 @@ def read_wat_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """
     from globallinks_spark.functions.binding import bind_once
 
-    raw = spark.read.text(paths)
     env = (
         raw.filter(_line_looks_like_record())
         # bind_once: without it, every downstream predicate that Catalyst

@@ -99,6 +99,63 @@ class TestPipeline:
         # the bucket predicate must reach the scan as partition pruning
         assert "domain_bucket" in plan
 
+    def test_incremental_import_per_file_restart(self, spark, tmp_path):
+        """File-granular restart (main.go:227-234): after a rerun with
+        one NEW wat file, already-imported batches are not rewritten and
+        rows appear exactly once; compact consumes the layout."""
+        import glob
+
+        from globallinks_spark.runner import run_import_incremental
+
+        wat_dir = str(tmp_path / "wat")
+        os.makedirs(wat_dir)
+        write_wat_file(os.path.join(wat_dir, "f-00000.warc.wat.gz"))
+        out = str(tmp_path / "out")
+        run_import_incremental(
+            spark, wat_dir, out, segment="s1", max_files_per_trigger=1
+        )
+        seg_dir = os.path.join(out, "links", "segment=s1")
+        first_links = spark.read.parquet(seg_dir)
+        n_first = first_links.count()
+        assert n_first > 0
+        batch_dirs = sorted(glob.glob(os.path.join(seg_dir, "batch=*")))
+        assert len(batch_dirs) == 1
+        stamps = {
+            d: sorted(os.path.getmtime(p)
+                      for p in glob.glob(os.path.join(d, "part-*")))
+            for d in batch_dirs
+        }
+
+        # a new file lands (or: the previous run died before reaching it)
+        write_wat_file(os.path.join(wat_dir, "f-00001.warc.wat.gz"))
+        run_import_incremental(
+            spark, wat_dir, out, segment="s1", max_files_per_trigger=1
+        )
+        after = sorted(glob.glob(os.path.join(seg_dir, "batch=*")))
+        assert len(after) == 2                      # one new batch only
+        for d in batch_dirs:                        # old batches untouched
+            assert stamps[d] == sorted(
+                os.path.getmtime(p)
+                for p in glob.glob(os.path.join(d, "part-*"))
+            )
+        assert spark.read.parquet(seg_dir).count() == 2 * n_first
+
+        # third run with nothing new: no work, no new dirs
+        run_import_incremental(
+            spark, wat_dir, out, segment="s1", max_files_per_trigger=1
+        )
+        assert sorted(glob.glob(os.path.join(seg_dir, "batch=*"))) == after
+
+        # compact drops the batch partition column and dedups across files
+        run_compact(spark, out, segment="s1")
+        compact = spark.read.parquet(
+            os.path.join(out, "compact", "segment=s1")
+        )
+        assert "batch" not in compact.columns
+        # both files carry identical fixture links → A4 distinct collapses
+        assert compact.count() > 0
+        assert compact.count() < 2 * n_first
+
     def test_salted_write_fans_out_hot_buckets(self, spark, tmp_path):
         """A bucket directory must be written by multiple tasks (round-1
         wrote each bucket with exactly one task → a 100 GB straggler at
