@@ -337,3 +337,88 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) over an undirected pair graph via min-label
+    propagation: every node starts labeled with itself; each round a
+    node takes the minimum of its own label and its neighbors' labels;
+    at fixpoint the label is the component's smallest node id.
+
+    Convergence needs rounds ≈ component diameter. Near-duplicate
+    clusters are shallow (most are cliques from a shared LSH bucket), so
+    a handful of rounds suffices; the loop stops as soon as a round
+    changes nothing and each round is one small join on the PAIR frame —
+    corpus-sized data is never touched. Labels persist each round and
+    the previous round unpersists, so lineage stays bounded. This is the
+    standard iterative-algorithm shape on Spark (driver loop over
+    DataFrame ops with an early-exit metric), not a driver-side
+    union-find: the pair frame can be billions of edges at 100 TB.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node"), F.col("label").alias("component")
+    )
+
+
+def dedup_groups(
+    docs: DataFrame, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """Near-duplicate GROUPS with keeper selection — what a training
+    pipeline actually consumes (LSH pairs alone leave the keep/delete
+    decision undone): connected components over the verified-pair graph,
+    deterministic keeper = smallest doc_id per component.
+
+    Output: one row per document that belongs to any duplicate group —
+    (doc_id, keeper_id, keep); rows with keep = false are the delete
+    list. Documents with no near-duplicate don't appear (they are
+    trivially keepers)."""
+    pairs = minhash_dedup_pairs(docs, threshold=threshold, k=k)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keeper_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

@@ -45,7 +45,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_ctes() -> str:
+    """The shared WITH-body computing verified LSH pairs (CTE ``lshp``:
+    doc_a, doc_b, jaccard) — used by the pairs query and, extended with
+    a recursive components CTE, by dedup_groups."""
     sig_cols = ",\n    ".join(
         f"{H.minhash_sql('hashes', j)} AS mh_{j}" for j in range(H.NUM_HASHES)
     )
@@ -59,8 +62,7 @@ def _sql_minhash_lsh() -> str:
         )
         for b in range(H.NUM_BANDS)
     )
-    return f"""
-WITH {_SQL_SHINGLE_CTE},
+    return f"""{_SQL_SHINGLE_CTE},
 sig AS (
   SELECT doc_id,
     {sig_cols}
@@ -81,16 +83,55 @@ cand AS (
   JOIN ex a ON a.doc_id = c.doc_a
   JOIN ex b ON b.doc_id = c.doc_b AND b.h = a.h
   GROUP BY c.doc_a, c.doc_b
+), lshp AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+)"""
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_minhash_ctes()}
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM lshp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup_groups — connected components over the verified LSH pairs →
+# deterministic keeper (smallest doc_id) + delete list
+# (operators/dedup.dedup_groups). The oracle closes the same pair graph
+# with a recursive CTE — transitive closure, then min reachable node.
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.dedup import dedup_groups
+
+    return dedup_groups(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _sql_dedup_groups() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM lshp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM lshp
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
 )
-SELECT c.doc_a, c.doc_b,
-  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-        / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 4) AS jaccard
-FROM cand c
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-      / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+SELECT a AS doc_id,
+  least(a, min(b)) AS keeper_id,
+  a = least(a, min(b)) AS keep
+FROM reach GROUP BY a
 """
 
 
@@ -747,6 +788,7 @@ FROM orders GROUP BY o_orderpriority
 
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _sql_minhash_lsh()),
+    "dedup_groups": QuerySpec(q_dedup_groups, _sql_dedup_groups()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash_fingerprint": QuerySpec(q_simhash_fingerprint, SQL_SIMHASH),
     "embedding_cosine_topk": QuerySpec(

@@ -214,6 +214,43 @@ class TestSimilarity:
         assert (0, 4) in {(r.vec_a, r.vec_b) for r in out}
 
 
+class TestConnectedComponents:
+    def test_chain_pair_triangle(self, spark):
+        from globallinks_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = sorted(
+            (r.node, r.component)
+            for r in connected_components(pairs).collect()
+        )
+        assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                       (20, 20), (21, 20), (22, 20)]
+
+    def test_dedup_groups_keeper_and_delete_list(self, spark):
+        """Two exact-duplicate clusters in a small corpus → smallest
+        doc_id kept per cluster, the rest on the delete list; unique
+        docs absent."""
+        from globallinks_spark.operators.dedup import dedup_groups
+
+        text_a = "alpha beta gamma delta epsilon zeta"
+        text_b = "one two three four five six seven"
+        docs = spark.createDataFrame(
+            [(1, text_a), (2, text_a), (5, text_b), (7, text_b),
+             (9, text_b), (11, "completely different words here entirely")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in dedup_groups(docs, threshold=0.8).collect()}
+        assert set(rows) == {1, 2, 5, 7, 9}          # 11 is unique
+        assert rows[1].keep and rows[1].keeper_id == 1
+        assert not rows[2].keep and rows[2].keeper_id == 1
+        assert rows[5].keep and rows[5].keeper_id == 5
+        assert {rows[7].keeper_id, rows[9].keeper_id} == {5}
+        assert not rows[7].keep and not rows[9].keep
+
+
 class TestSpread:
     def test_already_parallel_input_passes_through(self, spark):
         """_spread must not shuffle an input that already has >= cores
