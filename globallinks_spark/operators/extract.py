@@ -233,7 +233,14 @@ def link_rows(classified: DataFrame) -> DataFrame:
 def page_rows(classified: DataFrame) -> DataFrame:
     """The 10-column page frame with A3 internal/external counters
     (increments at wat.go:510,528,534,539,549,553), deduped on the page key
-    (A1, wat.go:341-342)."""
+    (A1, wat.go:341-342).
+
+    A page row is emitted only when the page produced at least one
+    EMITTED link: the reference appends to ``content.Links`` solely in
+    parseLinks' final fall-through (wat.go:548-556) and writes the page
+    record only under ``len(content.Links) > 0`` (wat.go:327) — a page
+    whose anchors are all internal/blocked/skipped gets counters
+    tallied but never written."""
     counters = classified.groupBy(
         "page_host", "page_path", "page_raw_query", "page_scheme",
         "title", "ip", "date_imported", "no_index",
@@ -242,7 +249,9 @@ def page_rows(classified: DataFrame) -> DataFrame:
         .cast("int").alias("internal_links"),
         F.sum(F.when(F.col("link_class").isin("external", "emitted"), 1).otherwise(0))
         .cast("int").alias("external_links"),
-    )
+        F.max(F.when(F.col("link_class") == "emitted", 1).otherwise(0))
+        .alias("_has_emitted"),
+    ).filter(F.col("_has_emitted") == 1)
     return counters.select(
         F.col("page_host").alias("host"),
         F.col("page_path").alias("path"),

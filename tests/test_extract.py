@@ -114,3 +114,33 @@ class TestPageRows:
         hosts = {r.host for r in pages}
         assert "noindex.example.org" not in hosts
         assert "canon.example.org" not in hosts
+
+    def test_page_without_emitted_links_not_written(
+        self, spark, tmp_path_factory
+    ):
+        """Reference writes a page record only when the page emitted at
+        least one external link (len(content.Links) > 0, wat.go:327);
+        pages whose anchors are all internal/blocked/skipped are
+        counted but never written."""
+        import gzip
+        import json
+
+        from tests.fixtures import _envelope, a
+
+        rec = _envelope(
+            "https://onlyinternal.example.org/home",
+            "2023-02-04T10:00:00Z", "10.0.0.9",
+            [
+                a("/relative/one"),                            # internal
+                a("https://onlyinternal.example.org/two"),     # same host
+                a("https://facebook.com/x"),                   # blocklisted
+            ],
+        )
+        p = tmp_path_factory.mktemp("wat3") / "t-00002.warc.wat.gz"
+        with gzip.open(str(p), "wt", encoding="utf-8") as f:
+            f.write("WARC-Type: metadata\n")
+            f.write(json.dumps(rec) + "\n")
+        rows = extract.extract_pages(
+            read_wat_pages(spark, str(p))
+        ).collect()
+        assert rows == []

@@ -96,6 +96,35 @@ class TestAggregationShape:
 
 
 class TestUrlKernelStaysJvmSide:
+    def test_bind_once_barrier_holds_from_json_count(
+        self, spark_noaqe, tmp_path
+    ):
+        """The bind_once optimization barrier is an optimizer-behavior
+        contract, not an API guarantee: if a Spark upgrade teaches
+        ConstantFolding about the barrier's shape, predicate pushdown
+        re-inlines from_json(value) into every gate that crosses the
+        envelope Project — the round-1 regression measured 627 copies in
+        one executed plan (6× wall-clock). This probe fails loudly the
+        day the barrier stops working."""
+        from globallinks_spark.operators import extract
+        from globallinks_spark.sources.wat import read_wat_pages
+        from tests.fixtures import write_wat_file
+
+        wat = str(tmp_path / "probe-00000.warc.wat.gz")
+        write_wat_file(wat)
+        links = extract.extract_links(read_wat_pages(spark_noaqe, wat))
+        plan = plan_string(links)
+        assert plan.count("from_json") == 1, (
+            f"bind_once barrier broke: {plan.count('from_json')} "
+            "from_json copies in the extraction plan (expected exactly 1)"
+        )
+        # the eTLD+1 barrier too. The domain tree legitimately contains
+        # ~8 split() references per domain column (shared by codegen
+        # subexpression elimination — ~180 plan-string occurrences
+        # total); a blown barrier re-inlines the whole tree per
+        # downstream consumer, measured at 1,110 occurrences.
+        assert plan.count("split(") < 400
+
     def test_no_python_eval_in_extract_filters(self, spark_noaqe):
         """Everything except the eTLD+1 UDF must stay JVM-side: exactly
         the explode/link-kernel stage may evaluate Python, filters and
