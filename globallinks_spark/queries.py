@@ -36,14 +36,20 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp, so read the raw int64 and floor-convert to micros
-        # (identical to DuckDB's nanos→micros truncation).
+        # events.parquet has shipped with two physical types for `ts`:
+        # TIMESTAMP(NANOS) (read as raw int64 via nanosAsLong, then
+        # floor-converted to micros exactly like DuckDB truncates) and plain
+        # TIMESTAMP(MICROS) (usable as-is). Branch on the read dtype so both
+        # generations of the dataset load identically.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if dict(df.dtypes)["ts"] in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # NTZ → session-zone timestamp (session pins UTC, so values are
+            # unchanged); watermarks and unix_timestamp require TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
