@@ -50,23 +50,35 @@ def words_sql(expr: str) -> str:
     )
 
 
-def shingles(words_col: Column, k: int = 3) -> Column:
-    """array<string> of space-joined k-grams (distinct).
+def _gram_indexes(words_col: Column, k: int) -> Column:
+    """``[1 … size-k+1]``, EMPTY for docs shorter than ``k`` words.
 
-    Guarded for short docs: Spark's ``sequence(1, 0)`` is the DESCENDING
-    list ``[1, 0]`` (not empty, unlike DuckDB's ``range``), so an
-    unguarded transform over it feeds index 0 into ``element_at`` and
-    throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode for any
-    document with fewer than ``k`` words. Docs shorter than ``k`` words
-    yield an empty array, matching the oracle's ``range`` semantics.
+    Spark's ``sequence(1, 0)`` is the DESCENDING list ``[1, 0]`` (not
+    empty, unlike DuckDB's ``range``), so a naive sequence feeds index 0
+    into ``element_at`` and throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    under ANSI mode for any short document. The guard is branch-free on
+    purpose: wrapping the whole transform in ``when(size >= k, …)`` puts
+    it on codegen's conditional path, where subexpression elimination is
+    disabled — every gram then re-derives its inputs (measured 2.5× on
+    the ngram-Jaccard bench). ``greatest`` keeps the sequence ascending;
+    ``filter`` drops the clamp artifact, and ``transform`` never
+    evaluates a lambda over an empty array.
     """
-    idx = F.sequence(F.lit(1), F.size(words_col) - (k - 1))
+    n_grams = F.size(words_col) - (k - 1)
+    seq = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
+    return F.filter(seq, lambda i: i <= n_grams)
+
+
+def shingles(words_col: Column, k: int = 3) -> Column:
+    """array<string> of space-joined k-grams (distinct). Short docs yield
+    an empty array (see :func:`_gram_indexes`), matching the oracle's
+    ``range`` semantics.
+    """
+    idx = _gram_indexes(words_col, k)
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(words_col, i + off) for off in range(k)]
     )
-    return F.when(
-        F.size(words_col) >= k, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.transform(idx, gram))
 
 
 def shingles_sql(words_expr: str, k: int = 3) -> str:
@@ -85,15 +97,13 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
 
 def shingles_seq(words_col: Column, k: int = 3) -> Column:
     """Positional (non-distinct) k-gram sequence — winnowing needs the
-    document-order hash stream, not the set. Short-doc guard as in
-    :func:`shingles` (``sequence(1, 0)`` is ``[1, 0]``, not empty)."""
-    idx = F.sequence(F.lit(1), F.size(words_col) - (k - 1))
+    document-order hash stream, not the set. Branch-free short-doc guard
+    as in :func:`shingles`."""
+    idx = _gram_indexes(words_col, k)
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(words_col, i + off) for off in range(k)]
     )
-    return F.when(
-        F.size(words_col) >= k, F.transform(idx, gram)
-    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(idx, gram)
 
 
 def shingles_seq_sql(words_expr: str, k: int = 3) -> str:

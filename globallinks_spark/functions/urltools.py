@@ -81,6 +81,7 @@ def _psl_lits(kind: str, k: int, values: frozenset[str]) -> list[Column]:
 def _etld_expr_parts(
     host: Column,
     big_markers: dict[int, Column] | None = None,
+    labels: Column | None = None,
 ) -> Column:
     """The eTLD+1 Column tree over ``host``.
 
@@ -94,7 +95,8 @@ def _etld_expr_parts(
     generates methods the JIT takes tens of seconds to converge on).
     """
     big_markers = big_markers or {}
-    labels = F.split(host, r"\.")
+    if labels is None:
+        labels = F.split(host, r"\.")
     n = F.size(labels)
 
     def suffix(k: int) -> Column:
@@ -163,14 +165,24 @@ def _build_etld_expr(host: Column) -> Column:
 # relation is ~100 KB and broadcasts once per query).
 _suffix_df_cache: dict[tuple[int, int], "DataFrame"] = {}
 
+# Built marker-based eTLD+1 trees, keyed by host column name (the tree
+# also references the fixed __psl_m2/__psl_m3 join-marker names).
+_etld_marker_expr_cache: dict[str, Column] = {}
+
 
 def _suffix_df(spark, k: int):
     key = (id(spark), k)
     if key not in _suffix_df_cache:
-        _suffix_df_cache[key] = spark.createDataFrame(
-            [(r,) for r in sorted(psl.EXACT_BY_LEN[k])],
-            f"__psl_s{k} string",
-        ).withColumn(f"__psl_m{k}", F.lit(True))
+        # One ~80 KB string literal split JVM-side: row-by-row
+        # createDataFrame of the 5.8k-rule table costs ~2.5 s of py4j
+        # serialization (measured); this is one gateway call and the
+        # split/explode runs in the JVM.
+        packed = "|".join(sorted(psl.EXACT_BY_LEN[k]))
+        _suffix_df_cache[key] = (
+            spark.range(1)
+            .select(F.explode(F.split(F.lit(packed), r"[|]")).alias(f"__psl_s{k}"))
+            .withColumn(f"__psl_m{k}", F.lit(True))
+        )
     return _suffix_df_cache[key]
 
 
@@ -197,7 +209,14 @@ def with_registrable_domain(
     tests/test_psl_full.py.
     """
     host = F.col(host_col)
-    labels = F.split(host, r"\.")
+    # Bind the label split ONCE behind the optimization barrier: the
+    # suffix probes, the join keys, and the final slice all reference the
+    # bound attribute, so the split appears once in the plan instead of
+    # ~90× (CollapseProject re-inlines deterministic aliases into every
+    # reference; measured the duplication doubles Janino compile time).
+    from globallinks_spark.functions.binding import bind_once
+    df = df.withColumn("__psl_labels", bind_once(F.split(host, r"\.")))
+    labels = F.col("__psl_labels")
     n = F.size(labels)
 
     def suffix(k: int) -> Column:
@@ -214,11 +233,20 @@ def with_registrable_domain(
     joined = joined.join(
         F.broadcast(_suffix_df(spark, 3)), on="__psl_s3", how="left"
     )
-    markers = {
-        2: F.col("__psl_m2").isNotNull(),
-        3: F.col("__psl_m3").isNotNull(),
-    }
-    out = _etld_expr_parts(host, big_markers=markers)
+    # The output tree references only fixed names (host_col, __psl_m2/3),
+    # so it is plan-independent — cache it: building it costs ~2.5 s of
+    # py4j round trips (measured), paid per *query construction* without
+    # the cache.
+    cache_key = host_col
+    if cache_key not in _etld_marker_expr_cache:
+        markers = {
+            2: F.col("__psl_m2").isNotNull(),
+            3: F.col("__psl_m3").isNotNull(),
+        }
+        _etld_marker_expr_cache[cache_key] = _etld_expr_parts(
+            host, big_markers=markers, labels=F.col("__psl_labels")
+        )
+    out = _etld_marker_expr_cache[cache_key]
     if bind:
         # pipelines with many downstream consumers (classification,
         # dedup keys, filters) must bind the domain behind the
@@ -228,7 +256,7 @@ def with_registrable_domain(
         from globallinks_spark.functions.binding import bind_once
         out = bind_once(out)
     return joined.withColumn(out_col, out).drop(
-        "__psl_s2", "__psl_s3", "__psl_m2", "__psl_m3"
+        "__psl_labels", "__psl_s2", "__psl_s3", "__psl_m2", "__psl_m3"
     )
 
 
