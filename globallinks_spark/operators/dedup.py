@@ -134,52 +134,34 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 def exact_jaccard(shingled_a: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for the given pairs.
 
-    Explodes shingle hashes once, semi-joined to docs appearing in pairs,
-    so verification cost is proportional to candidates, not corpus.
+    Joins each pair to its two DISTINCT hash arrays and computes
+    ``array_intersect`` per row — O(|A|+|B|) per pair with NO row
+    explosion. The earlier explode-and-rejoin form materialized
+    |pairs| × avg-set-size intermediate rows plus two shuffles and a
+    groupBy (measured 5.3 s vs 0.9 s on 310k candidate pairs at sf0.1).
+    The per-doc array frame is corpus-linear and slim (doc_id + hashes),
+    so at any pair volume the joins stay hash joins on doc_id; AQE
+    broadcasts the array side when it fits.
     """
-    docs_in_pairs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select("doc_b"))
-        .distinct()
+    hs = shingled_a.select(
+        "doc_id", F.array_distinct("hashes").alias("hs")
     )
-    exploded = (
-        shingled_a.join(docs_in_pairs, "doc_id", "left_semi")
-        .select("doc_id", F.explode("hashes").alias("h"))
-        .distinct()
-        .persist()  # read by sizes + both legs of the intersection join
+    ha = hs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")
     )
-    # materialization barrier: without it the one final action computes
-    # sizes + both join legs concurrently, and tasks race to fill the
-    # cache — the same partitions hash twice or thrice (measured 3×
-    # run-to-run variance). One cheap job fills the cache; every
-    # downstream leg then reads it.
-    exploded.count()
-    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
-
-    ea = exploded.alias("ea")
-    eb = exploded.alias("eb")
-    inter = (
-        pairs.join(ea, pairs.doc_a == F.col("ea.doc_id"))
-        .join(
-            eb,
-            (pairs.doc_b == F.col("eb.doc_id"))
-            & (F.col("ea.h") == F.col("eb.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    hb = hs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    n_inter = F.size(F.array_intersect("ha", "hb"))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("_ni", n_inter)
         .select(
             "doc_a", "doc_b",
             (
-                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
-                / (F.col("sa.n") + F.col("sb.n")
-                   - F.coalesce(F.col("n_inter"), F.lit(0)))
+                F.col("_ni").cast("double")
+                / (F.size("ha") + F.size("hb") - F.col("_ni"))
             ).alias("jaccard"),
         )
     )
@@ -230,20 +212,46 @@ def ngram_jaccard_pairs(
     shingled.count()  # materialization barrier — see exact_jaccard
     shingled = shingled.filter(F.size("hashes") > 0)
 
-    dh = F.array_distinct(F.col("hashes"))
-    n = F.size(dh)
-    prefix_len = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
-    prefixes = shingled.select(
-        "doc_id",
-        F.explode(F.slice(F.array_sort(dh), 1, prefix_len)).alias("h"),
+    # Prefix ordering is by ASCENDING document frequency (PPJoin's
+    # canonical order): each doc's prefix then holds its RAREST shingles,
+    # so prefix collisions approximate true near-duplicates instead of
+    # boilerplate. With plain hash order the fixture corpus produced
+    # 430k candidates for 256 true pairs (template shingles landed in
+    # prefixes); frequency order cuts candidates ~50× and the verify
+    # join shrinks proportionally. Cost: one linear groupBy(h) for the
+    # frequency table + one groupBy(doc) to re-sort — both narrow
+    # shuffles of the (doc, shingle) frame, nothing quadratic.
+    ex = shingled.select(
+        "doc_id", F.explode(F.array_distinct("hashes")).alias("h")
     )
+    freq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "h"))).alias("oh"),
+            F.count("*").alias("n"),
+        )
+    )
+    n = F.col("n")
+    prefix_len = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
+    prefixes = ordered.select(
+        "doc_id", "n",
+        F.explode(F.slice("oh", F.lit(1), prefix_len)).alias("p"),
+    ).select("doc_id", "n", F.col("p.h").alias("h"))
     pa = prefixes.alias("pa")
     pb = prefixes.alias("pb")
+    # length filter (also lossless): J(A,B) >= t forces
+    # t*|A| <= |B| <= |A|/t, so size-incompatible prefix collisions are
+    # pruned before the distinct + verification joins
+    t = F.lit(float(threshold))
     cands = (
         pa.join(
             pb,
             (F.col("pa.h") == F.col("pb.h"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pb.n") >= t * F.col("pa.n"))
+            & (F.col("pb.n") * t <= F.col("pa.n")),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),

@@ -57,7 +57,12 @@ class TestJoinStrategy:
         df = REGISTRY["join_enrich"].fn(spark_noaqe, SF)
         assert count_broadcast_joins(df) >= 3  # customer/nation/region
 
-    def test_semi_join_for_candidate_filter(self, spark_noaqe):
+    def test_verification_has_no_row_explosion(self, spark_noaqe):
+        """exact_jaccard must stay in its array-join form: joins on
+        doc_id pull the two hash ARRAYS onto each pair and intersect
+        per row. The explode-and-rejoin alternative materializes
+        |pairs| x set-size rows (measured 6x slower); its signature in
+        a plan is a Generate (explode) node, which must be absent."""
         from globallinks_spark.operators.dedup import (
             exact_jaccard,
             with_shingle_hashes,
@@ -70,7 +75,8 @@ class TestJoinStrategy:
             [(1, 2)], "doc_a long, doc_b long"
         )
         plan = plan_string(exact_jaccard(sh, pairs))
-        assert "LeftSemi" in plan
+        assert "array_intersect" in plan
+        assert "Generate" not in plan  # no explode in the verify path
 
 
 class TestAggregationShape:
