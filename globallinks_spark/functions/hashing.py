@@ -16,17 +16,50 @@ p = 2^31-1; a,b < 2^30 keeps every product under 2^61 — no int64
 overflow on either engine. Parameters are generated from a fixed seed so
 the oracle SQL can inline the same constants.
 
-md5 costs more than xxhash64 per call; at 100 TB swap ``h60`` for
-``F.xxhash64`` (one-line change here) once results no longer need to be
-replayed in a second engine — the operator algebra is hash-agnostic.
+md5 costs more than xxhash64 per call; at 100 TB call
+``use_kernel("xxhash64")`` (or set ``GLOBALLINKS_HASH_KERNEL=xxhash64``)
+once results no longer need to be replayed in a second engine — the
+operator algebra is hash-agnostic, and
+tests/test_dedup_similarity.py::TestXxhashKernel pins that the dedup
+family produces the same PAIRS under either kernel (Jaccard over hashed
+shingle sets equals Jaccard over the shingles themselves, collision
+probability aside — the kernel only relabels set elements).
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
 import random
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_KERNELS = ("md5", "xxhash64")
+_kernel = os.environ.get("GLOBALLINKS_HASH_KERNEL", "md5")
+if _kernel not in _KERNELS:  # pragma: no cover - config error path
+    raise ValueError(f"GLOBALLINKS_HASH_KERNEL must be one of {_KERNELS}")
+
+
+def use_kernel(name: str) -> None:
+    """Select the hash kernel: ``md5`` (cross-engine, oracle-replayable,
+    the default) or ``xxhash64`` (JVM-native, ~3× cheaper per call — the
+    production choice when no second engine needs to replay hashes)."""
+    global _kernel
+    if name not in _KERNELS:
+        raise ValueError(f"kernel must be one of {_KERNELS}")
+    _kernel = name
+
+
+@contextlib.contextmanager
+def kernel(name: str):
+    """Scoped kernel override (tests / mixed pipelines)."""
+    prev = _kernel
+    use_kernel(name)
+    try:
+        yield
+    finally:
+        use_kernel(prev)
 
 MERSENNE_31 = (1 << 31) - 1  # 2147483647
 H30_MOD = 1 << 30
@@ -45,7 +78,11 @@ MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
 
 
 def h60(col: Column) -> Column:
-    """60-bit cross-engine hash of a string column."""
+    """60-bit hash of a string column (kernel-selected; see module doc).
+    Both kernels land in [0, 2^60) so the minhash modular arithmetic
+    stays overflow-free either way."""
+    if _kernel == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 60))
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 

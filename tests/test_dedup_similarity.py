@@ -335,3 +335,44 @@ class TestIVF:
         hits = S.ivf_topk(df, q, k=5, n_cells=64, n_probe=8).collect()
         # the query vector itself must be its own nearest neighbour
         assert hits and hits[0].vec_id == 7
+
+
+class TestXxhashKernel:
+    """The production (non-oracle) hash kernel. The dedup family's
+    OUTPUT is kernel-independent: shingle hashing only relabels set
+    elements, and exact-Jaccard verification compares the sets — so the
+    verified pair list must match the md5 kernel's bit-for-bit
+    (collisions aside). Minhash candidate sets may differ (different
+    permutation family), which is why the assertion is on the final
+    verified pairs, not candidates."""
+
+    def _docs(self, spark):
+        from globallinks_spark.queries import load
+
+        return load(spark, "/root/testdata/sf0.001", "documents")
+
+    def test_minhash_pairs_match_md5_kernel(self, spark):
+        from globallinks_spark.functions import hashing as H
+
+        docs = self._docs(spark)
+        md5_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        with H.kernel("xxhash64"):
+            xx_pairs = {
+                (r.doc_a, r.doc_b)
+                for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+            }
+        assert md5_pairs == xx_pairs and len(md5_pairs) > 0
+
+    def test_xxhash_is_cheaper_shaped(self, spark):
+        """Plan sanity: the xxhash kernel keeps everything JVM-side and
+        drops the md5→hex→conv chain (no 'md5(' in the plan)."""
+        from globallinks_spark.functions import hashing as H
+
+        with H.kernel("xxhash64"):
+            plan = D.with_shingle_hashes(
+                self._docs(spark)
+            )._jdf.queryExecution().optimizedPlan().toString()
+        assert "xxhash64" in plan and "md5" not in plan
