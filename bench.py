@@ -49,6 +49,9 @@ BENCH_QUERIES = (
     "embedding_near_dup",
     "ann_sign_lsh",
     "text_quality",
+    "gopher_quality",
+    "repetition_profile",
+    "pii_scrub",
     "lang_id",
     "doc_fingerprint",
     "multimodal_meta",

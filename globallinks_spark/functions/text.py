@@ -195,3 +195,123 @@ def bpe_token_count(text: Column) -> Column:
 
 def bpe_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_REGEX}'))"
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_REGEX}'))"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — public
+# paper). Thresholds below follow the paper; each rule is exposed as a
+# flag so pipelines can tune rather than re-derive.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def mean_word_len(words_col: Column) -> Column:
+    n = F.size(words_col)
+    total = F.aggregate(
+        words_col, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len_sql(words_expr: str) -> str:
+    return (
+        f"CASE WHEN len({words_expr}) > 0 THEN "
+        f"CAST(list_sum(list_transform({words_expr}, w -> length(w))) "
+        f"AS DOUBLE) / len({words_expr}) ELSE 0.0 END"
+    )
+
+
+def symbol_word_ratio(text: Column, words_col: Column) -> Column:
+    """(# of '#' chars + '...' runs) per word — Gopher's symbol screen."""
+    n = F.size(words_col)
+    hashes = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    dots = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    return F.when(
+        n > 0, (hashes + dots).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio_sql(text_expr: str, words_expr: str) -> str:
+    hashes = (
+        f"(length({text_expr}) - "
+        f"length(replace({text_expr}, '#', '')))"
+    )
+    dots = f"len(regexp_extract_all({text_expr}, '\\.\\.\\.'))"
+    return (
+        f"CASE WHEN len({words_expr}) > 0 THEN "
+        f"CAST({hashes} + {dots} AS DOUBLE) / len({words_expr}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def distinct_stopword_count(words_col: Column) -> Column:
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(words_col),
+            F.array(*[F.lit(s) for s in EN_STOPWORDS]),
+        )
+    )
+
+
+def distinct_stopword_count_sql(words_expr: str) -> str:
+    lits = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return (
+        f"len(list_intersect(list_distinct({words_expr}), [{lits}]))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII patterns — deliberately simple, identical Java-regex / RE2
+# semantics (no lookaround, no backrefs). Scrub order is fixed:
+# email → phone → ip (an email never contains a scrubbed phone, so the
+# order only matters for determinism).
+
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_REGEX = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_PII_STEPS = (
+    (EMAIL_REGEX, "<EMAIL>"),
+    (PHONE_REGEX, "<PHONE>"),
+    (IPV4_REGEX, "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_REGEX), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_REGEX), 0)),
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    out = text
+    for pat, repl in _PII_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        "n_emails": f"len(regexp_extract_all({expr}, '{EMAIL_REGEX}'))",
+        "n_phones": f"len(regexp_extract_all({expr}, '{PHONE_REGEX}'))",
+        "n_ips": f"len(regexp_extract_all({expr}, '{IPV4_REGEX}'))",
+    }
+
+
+def pii_scrub_sql(expr: str) -> str:
+    out = expr
+    for pat, repl in _PII_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

@@ -786,6 +786,197 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: gopher_quality — Gopher-style document quality rules (Rae et al.
+# 2021 §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio, distinct-stopword floor. Flags exposed per rule + composite pass.
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", TX.words(F.col("text")).alias("w"))
+    n = F.size("w")
+    mwl = TX.mean_word_len(F.col("w"))
+    sym = TX.symbol_word_ratio(F.col("text"), F.col("w"))
+    nstop = TX.distinct_stopword_count(F.col("w"))
+    ok_words = (n >= TX.GOPHER_MIN_WORDS) & (n <= TX.GOPHER_MAX_WORDS)
+    ok_mwl = (mwl >= TX.GOPHER_MIN_MEAN_WORD_LEN) & (
+        mwl <= TX.GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_sym = sym < TX.GOPHER_MAX_SYMBOL_RATIO
+    ok_stop = nstop >= TX.GOPHER_MIN_DISTINCT_STOPWORDS
+    return base.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        nstop.alias("n_stop_distinct"),
+        ok_words.cast("int").alias("ok_words"),
+        ok_mwl.cast("int").alias("ok_word_len"),
+        ok_sym.cast("int").alias("ok_symbols"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_sym & ok_stop).cast("int").alias("pass"),
+    )
+
+
+def _sql_gopher_quality() -> str:
+    mwl = TX.mean_word_len_sql("w")
+    sym = TX.symbol_word_ratio_sql("text", "w")
+    nstop = TX.distinct_stopword_count_sql("w")
+    ok_words = (
+        f"(len(w) >= {TX.GOPHER_MIN_WORDS} AND len(w) <= {TX.GOPHER_MAX_WORDS})"
+    )
+    ok_mwl = (
+        f"({mwl} >= {TX.GOPHER_MIN_MEAN_WORD_LEN} "
+        f"AND {mwl} <= {TX.GOPHER_MAX_MEAN_WORD_LEN})"
+    )
+    ok_sym = f"({sym} < {TX.GOPHER_MAX_SYMBOL_RATIO})"
+    ok_stop = f"({nstop} >= {TX.GOPHER_MIN_DISTINCT_STOPWORDS})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {TX.words_sql('text')} AS w FROM documents
+)
+SELECT doc_id,
+  len(w) AS n_words,
+  round({mwl}, 4) AS mean_word_len,
+  round({sym}, 4) AS symbol_ratio,
+  {nstop} AS n_stop_distinct,
+  CAST({ok_words} AS INT) AS ok_words,
+  CAST({ok_mwl} AS INT) AS ok_word_len,
+  CAST({ok_sym} AS INT) AS ok_symbols,
+  CAST({ok_stop} AS INT) AS ok_stopwords,
+  CAST({ok_words} AND {ok_mwl} AND {ok_sym} AND {ok_stop} AS INT) AS pass
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: repetition_profile — repeated-content signals per document: the
+# mass fraction of the single most frequent word / 2-gram / 3-gram
+# (LLM-data pipelines drop documents dominated by one n-gram). Computed
+# by explode → two-level aggregation — corpus-linear, one shuffle per
+# gram size, no per-doc UDF.
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.words(F.col("text")).alias("w")).persist()
+
+    def top_ratio(gram_col, out: str) -> DataFrame:
+        counts = (
+            base.select("doc_id", F.explode(gram_col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return counts.groupBy("doc_id").agg(
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt"), 4
+            ).alias(out)
+        )
+
+    r1 = top_ratio(F.col("w"), "top_word_ratio")
+    r2 = top_ratio(TX.shingles_seq(F.col("w"), 2), "top_2gram_ratio")
+    r3 = top_ratio(TX.shingles_seq(F.col("w"), 3), "top_3gram_ratio")
+    out = (
+        base.select("doc_id")
+        .join(r1, "doc_id", "left")
+        .join(r2, "doc_id", "left")
+        .join(r3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_word_ratio", F.lit(0.0)).alias("top_word_ratio"),
+            F.coalesce("top_2gram_ratio", F.lit(0.0)).alias("top_2gram_ratio"),
+            F.coalesce("top_3gram_ratio", F.lit(0.0)).alias("top_3gram_ratio"),
+        )
+    )
+    return out
+
+
+def _sql_repetition_profile() -> str:
+    def ratio_cte(gram_expr: str, tag: str) -> str:
+        return f"""g{tag} AS (
+  SELECT doc_id, unnest({gram_expr}) AS g FROM w
+), c{tag} AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g{tag} GROUP BY doc_id, g
+), r{tag} AS (
+  SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS r
+  FROM c{tag} GROUP BY doc_id
+)"""
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, {TX.words_sql('text')} AS w FROM documents
+), {ratio_cte('w', '1')}, {ratio_cte(TX.shingles_seq_sql('w', 2), '2')},
+{ratio_cte(TX.shingles_seq_sql('w', 3), '3')}
+SELECT w.doc_id,
+  coalesce(r1.r, 0.0) AS top_word_ratio,
+  coalesce(r2.r, 0.0) AS top_2gram_ratio,
+  coalesce(r3.r, 0.0) AS top_3gram_ratio
+FROM w LEFT JOIN r1 ON w.doc_id = r1.doc_id
+LEFT JOIN r2 ON w.doc_id = r2.doc_id
+LEFT JOIN r3 ON w.doc_id = r3.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: pii_scrub — PII detection + redaction (email / phone / IPv4), the
+# scrub stage of a training-data pipeline. The documents fixture has no
+# PII, so the query synthesizes contact text from customer columns
+# deterministically in BOTH engines (the q_url_parse pattern) — matches
+# are real and the redacted text is hash-compared.
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    phone = F.concat_ws(
+        "-",
+        (F.col("c_custkey") % 90 + 10).cast("string"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lpad((F.col("c_nationkey") * 37 % 1000).cast("string"), 3, "0"),
+        F.lpad((F.col("c_custkey") * 7 % 10000).cast("string"), 4, "0"),
+    )
+    text = F.concat(
+        F.col("c_name"), F.lit(" reach me at "), phone,
+        F.lit(" or "),
+        F.lower(F.regexp_replace(F.col("c_name"), r"[^A-Za-z0-9]", ".")),
+        F.lit("@example.com from host 10."),
+        (F.col("c_custkey") % 250).cast("string"), F.lit(".0.7"),
+    )
+    base = c.select("c_custkey", text.alias("contact_text"))
+    counts = TX.pii_counts(F.col("contact_text"))
+    return base.select(
+        "c_custkey",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        TX.pii_scrub(F.col("contact_text")).alias("scrubbed"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    phone = (
+        "CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' || "
+        "lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(c_nationkey * 37 % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0')"
+    )
+    text = (
+        f"c_name || ' reach me at ' || {phone} || ' or ' || "
+        "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) || "
+        "'@example.com from host 10.' || CAST(c_custkey % 250 AS VARCHAR) "
+        "|| '.0.7'"
+    )
+    counts = TX.pii_counts_sql("contact_text")
+    return f"""
+WITH base AS (
+  SELECT c_custkey, {text} AS contact_text FROM customer
+)
+SELECT c_custkey,
+  {counts['n_emails']} AS n_emails,
+  {counts['n_phones']} AS n_phones,
+  {counts['n_ips']} AS n_ips,
+  {TX.pii_scrub_sql('contact_text')} AS scrubbed
+FROM base
+"""
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_groups": QuerySpec(q_dedup_groups, _sql_dedup_groups()),
@@ -797,6 +988,11 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
+    "gopher_quality": QuerySpec(q_gopher_quality, _sql_gopher_quality()),
+    "repetition_profile": QuerySpec(
+        q_repetition_profile, _sql_repetition_profile()
+    ),
+    "pii_scrub": QuerySpec(q_pii_scrub, _sql_pii_scrub()),
     "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),

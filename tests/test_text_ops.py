@@ -1,0 +1,113 @@
+"""Unit tests for the Gopher-quality / repetition / PII operators —
+edge cases the fixture corpus can't exercise (empty docs, boundary
+thresholds, crafted PII strings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globallinks_spark.functions import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestGopherRules:
+    def test_flags_on_crafted_docs(self, spark):
+        good = "the quick brown fox jumps over a lazy dog and " * 10
+        rows = [
+            (0, good),                     # passes everything
+            (1, "tiny doc"),               # too few words
+            (2, "#### " * 60),             # symbol ratio + no stopwords
+            (3, ""),                       # empty
+        ]
+        df = _docs(spark, rows)
+        w = TX.words(F.col("text"))
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                F.size(w).alias("n_words"),
+                TX.symbol_word_ratio(F.col("text"), w).alias("sym"),
+                TX.distinct_stopword_count(w).alias("nstop"),
+                TX.mean_word_len(w).alias("mwl"),
+            ).collect()
+        }
+        assert out[0]["n_words"] == 100
+        assert out[0]["nstop"] >= TX.GOPHER_MIN_DISTINCT_STOPWORDS
+        assert out[1]["n_words"] < TX.GOPHER_MIN_WORDS
+        assert out[2]["sym"] > TX.GOPHER_MAX_SYMBOL_RATIO
+        assert out[2]["nstop"] == 0
+        assert out[3]["n_words"] == 0 and out[3]["mwl"] == 0.0
+
+    def test_mean_word_len(self, spark):
+        df = _docs(spark, [(0, "ab abcd")])  # (2+4)/2 = 3.0
+        got = df.select(
+            TX.mean_word_len(TX.words(F.col("text"))).alias("m")
+        ).first()["m"]
+        assert got == pytest.approx(3.0)
+
+
+class TestPiiScrub:
+    def test_patterns_and_redaction(self, spark):
+        text = (
+            "mail bob.smith+x@sub.example.co.uk or 12-345-678-9012 "
+            "from 192.168.0.1 and 10.0.0.254"
+        )
+        df = _docs(spark, [(0, text)])
+        counts = TX.pii_counts(F.col("text"))
+        row = df.select(
+            counts["n_emails"].alias("e"),
+            counts["n_phones"].alias("p"),
+            counts["n_ips"].alias("i"),
+            TX.pii_scrub(F.col("text")).alias("s"),
+        ).first()
+        assert (row["e"], row["p"], row["i"]) == (1, 1, 2)
+        assert row["s"] == (
+            "mail <EMAIL> or <PHONE> from <IP> and <IP>"
+        )
+
+    def test_scrub_order_email_before_ip(self, spark):
+        # the email's dotted domain must not be half-eaten by the IP rule
+        df = _docs(spark, [(0, "a@1.2.3.4x.com")])
+        got = df.select(TX.pii_scrub(F.col("text")).alias("s")).first()["s"]
+        assert got == "<EMAIL>"
+
+    def test_no_pii_untouched(self, spark):
+        df = _docs(spark, [(0, "plain text with no secrets")])
+        got = df.select(TX.pii_scrub(F.col("text")).alias("s")).first()["s"]
+        assert got == "plain text with no secrets"
+
+
+class TestRepetitionProfile:
+    def test_dominated_doc_scores_high(self, spark):
+        # go through REGISTRY (queries imports queries_ext lazily; a direct
+        # queries_ext import from a test can hit the half-initialized module)
+        from globallinks_spark.queries import REGISTRY
+
+        q_repetition_profile = REGISTRY["repetition_profile"].fn
+
+        # build a fixture-shaped frame and monkey-load via temp parquet
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        df = spark.createDataFrame(
+            [
+                (0, "spam spam spam spam spam ham", "en", "t", 1),
+                (1, "all words here are fully distinct tokens", "en", "t", 1),
+                (2, "", "en", "t", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r for r in q_repetition_profile(spark, d).collect()
+        }
+        assert out[0]["top_word_ratio"] == pytest.approx(5 / 6, abs=1e-4)
+        assert out[1]["top_word_ratio"] == pytest.approx(1 / 7, abs=1e-4)
+        assert out[2]["top_word_ratio"] == 0.0  # empty doc → coalesced 0
