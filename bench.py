@@ -47,6 +47,7 @@ BENCH_QUERIES = (
     "simhash_fingerprint",
     "embedding_cosine_topk",
     "embedding_near_dup",
+    "embedding_near_dup_vec",
     "ann_sign_lsh",
     "text_quality",
     "gopher_quality",

@@ -231,6 +231,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas gram-matrix variant (production path for wide
+    embeddings — ~7× the expression form at dim 64, gap grows with dim).
+    Checked against the SAME DuckDB oracle: float64 matmul and the
+    sequential fold agree far below the 4-decimal rounding."""
+    from globallinks_spark.operators.similarity import near_dup_pairs_vectorized
+
+    return near_dup_pairs_vectorized(
+        load(spark, sf_dir, "embeddings"), threshold=0.35,
+        partition_col="label",
+    )
+
+
 SQL_EMBEDDING_NEAR_DUP = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   round({V.cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
@@ -986,6 +999,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK
     ),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "embedding_near_dup_vec": QuerySpec(
+        q_embedding_near_dup_vec, SQL_EMBEDDING_NEAR_DUP
+    ),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "gopher_quality": QuerySpec(q_gopher_quality, _sql_gopher_quality()),

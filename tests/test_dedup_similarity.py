@@ -376,3 +376,31 @@ class TestXxhashKernel:
                 self._docs(spark)
             )._jdf.queryExecution().optimizedPlan().toString()
         assert "xxhash64" in plan and "md5" not in plan
+
+
+class TestVectorizedNearDup:
+    """applyInPandas gram-matrix variant must agree with the JVM
+    expression path pair-for-pair (float64 matmul vs sequential fold
+    differ far below the 4-decimal rounding)."""
+
+    def test_matches_expression_path(self, spark):
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        expr_pairs = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in S.near_dup_pairs(emb, threshold=0.35)
+            .select("vec_a", "vec_b", "cosine").collect()
+        }
+        vec_pairs = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in S.near_dup_pairs_vectorized(emb, threshold=0.35).collect()
+        }
+        assert expr_pairs == vec_pairs and len(expr_pairs) > 0
+
+    def test_single_row_blocks_emit_nothing(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], "a"), (2, [1.0, 0.0], "b")],
+            "vec_id long, embedding array<float>, label string",
+        )
+        assert S.near_dup_pairs_vectorized(df, threshold=0.5).count() == 0
