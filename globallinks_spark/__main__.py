@@ -1,5 +1,6 @@
 """CLI mirroring the reference's three binaries plus the query surface.
 
+    python -m globallinks_spark importer <archive> <data_dir> [maxfiles] [segment...]
     python -m globallinks_spark fetch  <archive> <data_dir> [segment]
     python -m globallinks_spark import <out_dir> <segment> <wat_file...>
     python -m globallinks_spark compact <out_dir> <segment>
@@ -27,7 +28,17 @@ def main(argv: list[str]) -> int:
     from globallinks_spark import runner
     from globallinks_spark.operators.linkdb import LinkQuery, to_json_response
 
-    if cmd == "fetch" and len(argv) in (4, 5):
+    if cmd == "importer" and len(argv) >= 4:
+        max_files = int(argv[4]) if len(argv) > 4 else None
+        segments = argv[5:] or None
+        done = runner.run_archive(
+            spark, argv[2], argv[3], max_files=max_files,
+            segments=segments,
+            max_segments=len(segments) if segments else 1,
+        )
+        for s in done:
+            print(s)
+    elif cmd == "fetch" and len(argv) in (4, 5):
         local = runner.run_fetch(
             spark, argv[2], argv[3], argv[4] if len(argv) == 5 else None
         )

@@ -178,6 +178,46 @@ def run_fetch(
     )
 
 
+def run_archive(
+    spark: SparkSession,
+    archive_name: str,
+    data_dir: str,
+    max_files: int | None = None,
+    segments: list[str] | None = None,
+    max_segments: int = 1,
+    base_url: str | None = None,
+    throttle_sec: float | None = None,
+) -> list[str]:
+    """§3.1 — the reference's single ``importer`` binary end-to-end:
+    manifest → next segment (or the explicit list) → throttled download
+    → import → compact, looping until no segment remains or
+    ``max_segments`` are done (cmd/importer/main.go:129-263).
+    ``max_files`` mirrors the reference's ``<maxfiles>`` smoke-run arg
+    (truncate the segment's work list); its ``<threads>`` arg is Spark's
+    parallelism and needs no plumbing. Returns the segments processed —
+    already-done segments are skipped by the _SUCCESS markers, so the
+    whole loop is rerun-safe."""
+    want = list(segments) if segments else []
+    processed: list[str] = []
+    for _ in range(max_segments):
+        seg_arg = want.pop(0) if want else None
+        local = run_fetch(
+            spark, archive_name, data_dir, seg_arg,
+            base_url=base_url, throttle_sec=throttle_sec,
+        )
+        if not local:
+            break
+        if max_files is not None:
+            local = local[:max_files]
+        seg = os.path.basename(os.path.dirname(local[0]))
+        run_import(spark, local, data_dir, seg)
+        run_compact(spark, data_dir, seg)
+        processed.append(seg)
+        if want == [] and segments:
+            break
+    return processed
+
+
 def query_links(
     spark: SparkSession, serving_path: str, request: LinkQuery,
 ) -> DataFrame:

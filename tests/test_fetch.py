@@ -154,3 +154,110 @@ class TestFetchWatFiles:
         assert again == local
         assert _Handler.hits == []
         assert sleeps == []
+
+
+class _WatHandler(_Handler):
+    """Serves REAL gzip WAT bytes for the end-to-end importer flow."""
+
+    def do_GET(self):  # noqa: N802
+        import io
+        import tempfile
+
+        cls = type(self)
+        cls.hits.append(self.path)
+        if self.path.endswith("wat.paths.gz"):
+            body = gzip.compress(("\n".join(MANIFEST_LINES) + "\n").encode())
+        else:
+            from fixtures import _envelope, a, write_wat_file
+
+            with tempfile.NamedTemporaryFile(suffix=".gz") as tf:
+                write_wat_file(tf.name)
+                body = open(tf.name, "rb").read()
+            if self.path.endswith("00001.warc.wat.gz"):
+                # second file carries one extra unique page so tests can
+                # tell which files were imported (concatenated gzip
+                # members are a valid gzip stream)
+                import json
+
+                extra = _envelope(
+                    "https://only-in-file-two.example.org/x",
+                    "2023-02-04T10:00:00Z", "10.0.0.9",
+                    [a("https://target.example.net/y")],
+                )
+                body += gzip.compress(
+                    ("WARC-Type: metadata\n"
+                     + json.dumps(extra) + "\n").encode()
+                )
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def wat_http_base():
+    _WatHandler.fail_plan = {}
+    _WatHandler.hits = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _WatHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/"
+    srv.shutdown()
+
+
+class TestRunArchive:
+    def test_importer_end_to_end_and_rerun_safe(
+        self, wat_http_base, tmp_path, spark
+    ):
+        """The reference's single importer binary: manifest → download →
+        import → compact in one call; a second call selects no new
+        segment (the only one carries a _SUCCESS marker) and re-downloads
+        nothing."""
+        from globallinks_spark.runner import run_archive
+
+        data = str(tmp_path)
+        done = run_archive(
+            spark, "CC-MAIN-2023-06", data,
+            base_url=wat_http_base, throttle_sec=0,
+        )
+        assert done == ["1674764494826.88"]
+        links = spark.read.parquet(
+            os.path.join(data, "links", "segment=1674764494826.88")
+        )
+        assert links.count() > 0
+        compacted = spark.read.parquet(
+            os.path.join(data, "compact", "segment=1674764494826.88")
+        )
+        assert compacted.count() > 0
+
+        wat_hits_before = [h for h in _WatHandler.hits if "/wat/CC-" in h]
+        done2 = run_archive(
+            spark, "CC-MAIN-2023-06", data,
+            base_url=wat_http_base, throttle_sec=0,
+        )
+        assert done2 == []  # no segment left to import
+        wat_hits_after = [h for h in _WatHandler.hits if "/wat/CC-" in h]
+        assert wat_hits_before == wat_hits_after  # nothing re-downloaded
+
+    def test_max_files_truncates_work_list(
+        self, wat_http_base, tmp_path, spark
+    ):
+        from globallinks_spark.runner import run_archive
+
+        done = run_archive(
+            spark, "CC-MAIN-2023-06", str(tmp_path), max_files=1,
+            base_url=wat_http_base, throttle_sec=0,
+        )
+        assert done == ["1674764494826.88"]
+        wat_hits = [h for h in _WatHandler.hits if "/wat/CC-" in h]
+        assert len(wat_hits) == 2  # both downloaded (fetch is eager)...
+        # ...but only file 00000 imported: the page unique to 00001 must
+        # be absent from the link output
+        links = spark.read.parquet(
+            os.path.join(str(tmp_path), "links", "segment=1674764494826.88")
+        )
+        assert links.count() > 0
+        assert (
+            links.filter("page_host = 'only-in-file-two.example.org'").count()
+            == 0
+        )
