@@ -237,21 +237,34 @@ def ngram_jaccard_pairs(
     prefix_len = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
     prefixes = ordered.select(
         "doc_id", "n",
-        F.explode(F.slice("oh", F.lit(1), prefix_len)).alias("p"),
-    ).select("doc_id", "n", F.col("p.h").alias("h"))
+        F.posexplode(F.slice("oh", F.lit(1), prefix_len)).alias("pos", "p"),
+    ).select("doc_id", "n", "pos", F.col("p.h").alias("h"))
     pa = prefixes.alias("pa")
     pb = prefixes.alias("pb")
-    # length filter (also lossless): J(A,B) >= t forces
-    # t*|A| <= |B| <= |A|/t, so size-incompatible prefix collisions are
-    # pruned before the distinct + verification joins
     t = F.lit(float(threshold))
+    # two more LOSSLESS prunes on each prefix collision:
+    # - length filter: J >= t forces t*|A| <= |B| <= |A|/t;
+    # - positional filter (PPJoin): a collision at 0-based prefix
+    #   positions (i, j) bounds the overlap by min(|A|-i, |B|-j); the
+    #   collision on a qualifying pair's FIRST shared token always meets
+    #   the required overlap t/(1+t)*(|A|+|B|), so dropping collisions
+    #   below the bound never drops a pair. floor (not ceil) of the
+    #   required overlap keeps the bound conservative under fp rounding.
+    required = F.floor(t * (F.col("pa.n") + F.col("pb.n")) / (t + 1))
     cands = (
         pa.join(
             pb,
             (F.col("pa.h") == F.col("pb.h"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (F.col("pb.n") >= t * F.col("pa.n"))
-            & (F.col("pb.n") * t <= F.col("pa.n")),
+            & (F.col("pb.n") * t <= F.col("pa.n"))
+            & (
+                F.least(
+                    F.col("pa.n") - F.col("pa.pos"),
+                    F.col("pb.n") - F.col("pb.pos"),
+                )
+                >= required
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
