@@ -61,62 +61,88 @@ def segment_distinct(links: DataFrame) -> DataFrame:
 def compact_links(links: DataFrame) -> DataFrame:
     """A5 — 14-col link rows → 16-col compacted rows.
 
-    Two-phase aggregation, chosen for the shuffle profile at 100 TB:
+    Two aggregations, exactly 2 Exchanges (an earlier formulation mixed
+    ``countDistinct`` with ``min_by`` in one agg, which Spark rewrites
+    into a multi-pass distinct-aggregate plan — 7 Exchanges):
 
-    phase 1 groups by (GROUP_KEYS, no_follow) — a plain hash aggregate,
-    so Tungsten's partial (map-side) aggregation collapses duplicate
-    links *before* the shuffle; phase 2 reduces the ≤2 rows per key
-    (one per no_follow value) with ``min_by(..., no_follow)``, which IS
-    the dofollow-preference rule: when a dofollow row exists, the
-    nofollow row's dates/ip/qty are discarded wholesale, exactly like
-    the reference's skip (main.go:578-580).
+    phase 1 groups by (GROUP_KEYS, no_follow, page variant): partial
+    (map-side) aggregation collapses duplicate links before the shuffle,
+    and the variant count A5 needs becomes ``count(*)`` downstream
+    because the variant is a grouping key here. Phase 2 reduces to one
+    row per group, encoding the dofollow preference by leading every
+    ordering struct with ``no_follow`` (for min) or its complement (for
+    max): ``min(struct(nf, x))`` selects the min x AMONG the min-nf
+    class — when a dofollow row exists, nofollow rows' dates/ip/qty are
+    discarded wholesale, exactly the reference's skip (main.go:578-580).
 
-    The alternative — a min-over-window prefilter — needs a full-data
-    shuffle+sort with no partial aggregation; on Zipfian link_domain
-    keys that is strictly worse. Phase 2's shuffle moves at most 2 rows
-    per group of already-aggregated data.
+    Physical note: these aggregates run as SortAggregate, necessarily —
+    representative selection is lexicographic over strings, and Spark's
+    HashAggregate requires fixed-width buffers (probed: even
+    ``min(string)`` falls back). That is the same work the reference's
+    ``sort -u`` does, minus its global ordering. The alternative — a
+    min-over-window prefilter — needs a full-data shuffle+sort with no
+    partial aggregation; on Zipfian link_domain keys that is strictly
+    worse.
     """
     first_order = F.struct(*[F.col(c) for c in _LINE_ORDER])
     rep_order = F.struct(
         F.length("page_path").alias("lp"),
         F.length("page_raw_query").alias("lq"),
-        F.col("page_path"), F.col("page_raw_query"),
+        F.col("page_path").alias("page_path"),
+        F.col("page_raw_query").alias("page_raw_query"),
     )
-    rep_value = F.struct(F.col("page_path"), F.col("page_raw_query"))
-    latest_order = F.struct(F.col("date_imported"), F.col("ip"))
-
-    per_class = links.groupBy(*GROUP_KEYS, "no_follow").agg(
-        F.min_by(F.col("link_scheme"), first_order).alias("link_scheme"),
-        F.min_by(rep_value, rep_order).alias("_rep"),
-        F.min_by(F.col("page_scheme"), first_order).alias("page_scheme"),
-        F.min_by(F.col("link_text"), first_order).alias("link_text"),
-        F.min_by(F.col("no_index"), first_order).alias("no_index"),
-        F.min("date_imported").alias("date_from"),
-        F.max("date_imported").alias("date_to"),
-        F.max_by(F.col("ip"), latest_order).alias("ip"),
-        F.countDistinct("page_path", "page_raw_query").cast("int").alias("qty"),
+    latest_order = F.struct(
+        F.col("date_imported").alias("d"), F.col("ip").alias("ip")
     )
 
-    payload = F.struct(
-        "link_scheme", "_rep", "page_scheme", "link_text", "no_follow",
-        "no_index", "date_from", "date_to", "ip", "qty",
+    # Phase 1 — per (group, no_follow class, page variant): collapses raw
+    # duplicate rows AND the variant fan-out map-side; every aggregate is
+    # a plain min/max (struct min = lexicographic), so the earlier
+    # min_by + countDistinct mix — which Spark plans as a multi-pass
+    # distinct-aggregate rewrite, 7 Exchanges total — becomes one
+    # aggregation (countDistinct over variants is count(*) here because
+    # the variant IS a grouping key).
+    pre = links.groupBy(
+        *GROUP_KEYS, "no_follow", "page_path", "page_raw_query"
+    ).agg(
+        F.min(first_order).alias("_fo"),
+        F.min(rep_order).alias("_ro"),
+        F.min("date_imported").alias("_dmin"),
+        F.max("date_imported").alias("_dmax"),
+        F.max(latest_order).alias("_lo"),
     )
-    best = per_class.groupBy(*GROUP_KEYS).agg(
-        F.min_by(payload, F.col("no_follow")).alias("p")
+
+    # Phase 2 — one aggregate per group encodes the dofollow preference
+    # by leading every ordering struct with no_follow (min) or its
+    # complement (max): min(struct(nf, x)) selects the min x AMONG the
+    # min-nf class, which is exactly "a dofollow row exists → nofollow
+    # rows' dates/ip/qty are discarded wholesale" (main.go:578-580).
+    nf = F.col("no_follow")
+    pref = (F.lit(1) - nf).alias("pref")  # 1 for dofollow: wins max()
+    merged = pre.groupBy(*GROUP_KEYS).agg(
+        F.min(nf).alias("no_follow"),
+        F.min(F.struct(nf.alias("nf"), F.col("_fo").alias("v"))).alias("_fo"),
+        F.min(F.struct(nf.alias("nf"), F.col("_ro").alias("v"))).alias("_ro"),
+        F.min(F.struct(nf.alias("nf"), F.col("_dmin").alias("v"))).alias("_dmin"),
+        F.max(F.struct(pref, F.col("_dmax").alias("v"))).alias("_dmax"),
+        F.max(F.struct(pref, F.col("_lo").alias("v"))).alias("_lo"),
+        F.sum(F.when(nf == 0, 1).otherwise(0)).alias("_c0"),
+        F.count("*").alias("_call"),
     )
-    return best.select(
+    return merged.select(
         "link_domain", "link_sub_domain", "link_path", "link_raw_query",
-        F.col("p.link_scheme").alias("link_scheme"), "page_host",
-        F.col("p._rep.page_path").alias("page_path"),
-        F.col("p._rep.page_raw_query").alias("page_raw_query"),
-        F.col("p.page_scheme").alias("page_scheme"),
-        F.col("p.link_text").alias("link_text"),
-        F.col("p.no_follow").alias("no_follow"),
-        F.col("p.no_index").alias("no_index"),
-        F.col("p.date_from").alias("date_from"),
-        F.col("p.date_to").alias("date_to"),
-        F.col("p.ip").alias("ip"),
-        F.col("p.qty").alias("qty"),
+        F.col("_fo.v.link_scheme").alias("link_scheme"), "page_host",
+        F.col("_ro.v.page_path").alias("page_path"),
+        F.col("_ro.v.page_raw_query").alias("page_raw_query"),
+        F.col("_fo.v.page_scheme").alias("page_scheme"),
+        F.col("_fo.v.link_text").alias("link_text"),
+        "no_follow",
+        F.col("_fo.v.no_index").alias("no_index"),
+        F.col("_dmin.v").alias("date_from"),
+        F.col("_dmax.v").alias("date_to"),
+        F.col("_lo.v.ip").alias("ip"),
+        F.when(F.col("no_follow") == 0, F.col("_c0"))
+        .otherwise(F.col("_call")).cast("int").alias("qty"),
     )
 
 
