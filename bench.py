@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     "embedding_near_dup",
     "embedding_near_dup_vec",
     "ann_sign_lsh",
+    "ann_multiprobe",
     "text_quality",
     "gopher_quality",
     "repetition_profile",

@@ -53,6 +53,36 @@ def with_sign_bucket(
     return embeddings.withColumn("bucket", V.sign_bucket(F.col(vec_col), bits))
 
 
+def probe_buckets(
+    query_vec: list[float], bits: int = 8, n_probe: int = 1
+) -> list[int]:
+    """The query's sign-LSH bucket plus its ``n_probe - 1`` most likely
+    neighbors — multi-probe LSH (Lv et al., VLDB'07): a vector near a
+    hyperplane lands on either side run-to-run, so flip the coordinates
+    with the smallest |margin| first. Driver-side pure function of the
+    query (parameters, not data); deterministic, so the DuckDB oracle
+    can inline the same bucket list."""
+    qbucket = 0
+    for i in range(bits):
+        if query_vec[i] > 0:
+            qbucket |= 1 << i
+    # coordinates by ascending distance to the boundary
+    order = sorted(range(bits), key=lambda i: (abs(query_vec[i]), i))
+    buckets = [qbucket]
+    # probe sequence: flip single lowest-margin bits, then pairs, …
+    import itertools
+
+    for r in range(1, bits + 1):
+        for combo in itertools.combinations(order, r):
+            if len(buckets) >= n_probe:
+                return buckets
+            flipped = qbucket
+            for i in combo:
+                flipped ^= 1 << i
+            buckets.append(flipped)
+    return buckets
+
+
 def bucketed_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -60,15 +90,15 @@ def bucketed_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """ANN: score only the query's sign-LSH bucket. Recall < 1 by design;
-    the candidate set shrinks ~2^bits-fold."""
-    qbucket = 0
-    for i in range(bits):
-        if query_vec[i] > 0:
-            qbucket |= 1 << i
+    """ANN: score only the query's sign-LSH bucket(s). Recall < 1 by
+    design and rises with ``n_probe`` (multi-probe: nearby buckets by
+    hyperplane margin) without changing the plan shape — the candidate
+    filter is an ``isin`` over ≤ n_probe of 2^bits buckets."""
+    buckets = probe_buckets(query_vec, bits, n_probe)
     cands = with_sign_bucket(embeddings, bits, vec_col).filter(
-        F.col("bucket") == qbucket
+        F.col("bucket").isin(buckets)
     )
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 

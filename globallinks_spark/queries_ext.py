@@ -278,6 +278,42 @@ FROM cands ORDER BY cosine DESC, vec_id LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# Q: ann_multiprobe — multi-probe sign-LSH (Lv et al., VLDB'07): probe
+# the query's bucket plus the 3 neighbors reached by flipping the
+# lowest-|margin| coordinates. Driver computes the probe list from the
+# query vector (parameters, not data); the oracle derives the SAME list
+# in SQL — sort coordinates by (|value|, index), flip the first three.
+
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return bucketed_topk(emb, qvec, k=5, bits=8, n_probe=4)
+
+
+SQL_ANN_MULTIPROBE = f"""
+WITH q AS (
+  SELECT embedding AS qv, {V.sign_bucket_sql('embedding')} AS qb
+  FROM embeddings WHERE vec_id = 0
+), flips AS (
+  SELECT qv, qb, list_transform(
+    list_sort(list_transform(range(0, 8),
+      i -> {{'a': abs(qv[i + 1]), 'i': i}}))[1:3],
+    s -> xor(qb, CAST(2 ** s.i AS INT))) AS alt
+  FROM q
+), probes AS (
+  SELECT qv, unnest(list_prepend(qb, alt)) AS b FROM flips
+), cands AS (
+  SELECT e.vec_id, e.embedding, p.qv FROM embeddings e, probes p
+  WHERE {V.sign_bucket_sql('e.embedding')} = p.b
+)
+SELECT vec_id, round({V.cosine_sql('embedding', 'qv')}, 4) AS cosine
+FROM cands ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: text_quality — length / token / punctuation / stopword metrics and a
 # composite keep-flag (the quality-scoring stage of a data pipeline).
 
@@ -1003,6 +1039,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_embedding_near_dup_vec, SQL_EMBEDDING_NEAR_DUP
     ),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
+    "ann_multiprobe": QuerySpec(q_ann_multiprobe, SQL_ANN_MULTIPROBE),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "gopher_quality": QuerySpec(q_gopher_quality, _sql_gopher_quality()),
     "repetition_profile": QuerySpec(

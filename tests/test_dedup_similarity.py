@@ -404,3 +404,34 @@ class TestVectorizedNearDup:
             "vec_id long, embedding array<float>, label string",
         )
         assert S.near_dup_pairs_vectorized(df, threshold=0.5).count() == 0
+
+
+class TestMultiProbe:
+    def test_probe_sequence_deterministic_and_ordered(self):
+        q = [0.01, -0.5, 0.02, 3.0, -0.03, 1.0, -2.0, 0.5]
+        bs = S.probe_buckets(q, bits=8, n_probe=4)
+        assert len(bs) == 4 and len(set(bs)) == 4
+        base = bs[0]
+        # first flips are the lowest-|margin| coordinates: 0, 2, 4
+        assert bs[1] == base ^ 1 and bs[2] == base ^ 4 and bs[3] == base ^ 16
+
+    def test_recall_improves_with_probes(self, spark):
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+        exact = {r.vec_id for r in S.cosine_topk(emb, q, k=10).collect()}
+
+        def recall(n_probe):
+            got = {
+                r.vec_id
+                for r in S.bucketed_topk(
+                    emb, q, k=10, bits=8, n_probe=n_probe
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        r1, r8 = recall(1), recall(8)
+        assert r8 >= r1  # monotone: probing more buckets never loses
+        assert r8 >= 0.3  # 8 of 256 buckets must recover a real fraction
