@@ -68,6 +68,7 @@ BENCH_QUERIES = (
     "cube_revenue",
     "quantiles",
     "stats_agg",
+    "pagerank",
     "approx_profile",
     "ann_ivf",
 )

@@ -1026,6 +1026,67 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: pagerank — authority scoring over a link graph, the canonical next
+# query on a backlink database (Page & Brin 1998). Edges synthesize
+# deterministically from customer keys in BOTH engines (the q_url_parse
+# pattern); the oracle unrolls the same 3 synchronous iterations as CTE
+# stages, with the operator's 12-decimal per-iteration rounding making
+# the fp path engine-identical.
+
+_PR_MOD = 499
+_PR_DAMPING = 0.85
+_PR_ITERATIONS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.graph import pagerank
+
+    c = load(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % _PR_MOD).alias("src"),
+        ((F.col("c_custkey") * 7 + 1) % _PR_MOD).alias("dst"),
+    )
+    return pagerank(
+        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING
+    ).select(F.col("node"), F.col("rank"))
+
+
+def _sql_pagerank() -> str:
+    d = _PR_DAMPING
+    stages = []
+    prev = "r0"
+    for it in range(1, _PR_ITERATIONS + 1):
+        stages.append(f"""i{it} AS (
+  SELECT e.dst, sum({prev}.rank / deg.deg) AS s
+  FROM e JOIN deg USING (src) JOIN {prev} ON e.src = {prev}.node
+  GROUP BY e.dst
+), r{it} AS (
+  SELECT v.node,
+    round((1.0 - {d}) / params.n + {d} * coalesce(i{it}.s, 0.0), 12) AS rank
+  FROM v LEFT JOIN i{it} ON v.node = i{it}.dst, params
+)""")
+        prev = f"r{it}"
+    joined = ",\n".join(stages)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT c_custkey % {_PR_MOD} AS src,
+                  (c_custkey * 7 + 1) % {_PR_MOD} AS dst
+  FROM customer
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), v AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), params AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM v
+), r0 AS (
+  SELECT node, round(1.0 / params.n, 12) AS rank FROM v, params
+),
+{joined}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_groups": QuerySpec(q_dedup_groups, _sql_dedup_groups()),
@@ -1060,6 +1121,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
     "quantiles": QuerySpec(q_quantiles, SQL_QUANTILES),
     "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
+    "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
     "approx_profile": QuerySpec(q_approx_profile, None),  # rows-only
     "ann_ivf": QuerySpec(q_ann_ivf, None),                # rows-only
 }
