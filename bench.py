@@ -113,7 +113,24 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+
+    # extraction throughput — the one metric BASELINE.md states a
+    # directly comparable number for (~300k pages/min/thread parse-only;
+    # ours covers extract+classify). SPARK_GRAFT_EXTRACT=0 skips it.
+    extract = None
+    if os.environ.get("SPARK_GRAFT_EXTRACT", "1") != "0":
+        try:
+            from bench_extract import measure_extract
+
+            # fixed 8-file shape: per-core normalization needs tasks big
+            # enough that per-task overhead amortizes (32 × 3k-page files
+            # under-report by ~5×); 8 × 12.5k pages matches the
+            # bench_extract.py CLI methodology in README
+            extract = measure_extract(spark, n_pages=100_000, cores=8)
+        except Exception as exc:
+            print(f"# extract bench failed: {exc}", file=sys.stderr)
+
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -121,7 +138,14 @@ def main() -> None:
         "sf": sf,
         "warmup": f"each query once at {warm_dir} (codegen steady-state)",
         "timing": "min of 2 isolated runs (cache cleared between)",
-    }))
+    }
+    if extract is not None:
+        out["extract_pages_per_min_per_core"] = extract["value"]
+        out["extract_detail"] = {
+            k: extract[k]
+            for k in ("n_pages", "cores", "extract_sec", "compact_sec")
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

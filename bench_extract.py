@@ -54,11 +54,18 @@ def _page(i: int) -> dict:
     }
 
 
-def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    cores = int(sys.argv[2]) if len(sys.argv) > 2 else int(
-        os.environ.get("SPARK_GRAFT_CPUS", "8")
-    )
+def measure_extract(spark, n_pages: int, cores: int) -> dict:
+    """Generate a synthetic WAT corpus, run extract (+compact), return
+    the measurement dict. ``spark`` is reused (bench.py passes its own
+    session); ``cores`` only scales the pages/min/core normalization.
+
+    Warmup: two throwaway passes. The first triggers Janino codegen and
+    queues HotSpot C2 compilation of the big generated methods; the
+    second lets C2 finish replacing interpreted frames. The timed pass
+    then reflects steady-state throughput — the regime that matters for
+    a 90k-file archive import that runs for hours (the reference's
+    ~30 s/WAT baseline is equally sustained-regime,
+    cmd/importer/main.go:332 logs per-file times mid-run)."""
     work = tempfile.mkdtemp(prefix="watbench-")
     try:
         n_files = max(cores, 1)
@@ -70,20 +77,7 @@ def main() -> None:
                     out.write("WARC-Type: metadata\n")
                     out.write(json.dumps(_page(i)) + "\n")
 
-        spark = get_spark(
-            app_name="extract_bench", master=f"local[{cores}]",
-            shuffle_partitions=cores,
-        )
         paths = [os.path.join(work, p) for p in sorted(os.listdir(work))]
-
-        # warmup: two full passes. The first triggers Janino codegen and
-        # queues HotSpot C2 compilation of the big generated methods; the
-        # second lets C2 finish replacing interpreted frames. The timed
-        # pass then reflects steady-state throughput — the regime that
-        # matters for a 90k-file archive import that runs for hours
-        # (convergence measured: cold 23 s → 15 s → ~7 s steady at 200k
-        # pages; the reference's ~30 s/WAT baseline is equally sustained-
-        # regime, cmd/importer/main.go:332 logs per-file times mid-run).
         links = extract_links(read_wat_pages(spark, paths))
         for _ in range(3):
             links.count()
@@ -97,7 +91,7 @@ def main() -> None:
         t_compact = time.perf_counter() - t0
 
         pages_min_core = n_pages / (t_extract / 60) / cores
-        print(json.dumps({
+        return {
             "metric": "extract_pages_per_min_per_core",
             "value": round(pages_min_core),
             "unit": "pages/min/core",
@@ -108,10 +102,22 @@ def main() -> None:
             "links_out": n_links,
             "compacted_out": n_compact,
             "reference_baseline": "300000 pages/min/thread (README.md:8)",
-        }))
-        spark.stop()
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "8")
+    )
+    spark = get_spark(
+        app_name="extract_bench", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    print(json.dumps(measure_extract(spark, n_pages, cores)))
+    spark.stop()
 
 
 if __name__ == "__main__":
