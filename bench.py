@@ -50,6 +50,8 @@ BENCH_QUERIES = (
     "embedding_near_dup_vec",
     "ann_sign_lsh",
     "ann_multiprobe",
+    "ann_random_projection",
+    "knn_join",
     "text_quality",
     "gopher_quality",
     "repetition_profile",

@@ -76,3 +76,56 @@ def sign_bucket_sql(a: str, bits: int = 8) -> str:
         f"i -> CASE WHEN {a}[i] > 0 THEN 2.0 ** (i - 1) ELSE 0.0 END)) "
         f"AS INT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded random-hyperplane projection — the production sign-LSH (the
+# coordinate-axis variant above is the oracle-friendly stand-in; this is
+# the real thing). The matrix is a pure function of (seed, bits, dim), so
+# both engines inline identical literals and the bucket is still fully
+# oracle-checkable.
+
+def projection_matrix(
+    bits: int, dim: int, seed: int = 0x5EED
+) -> list[list[float]]:
+    """bits × dim hyperplane normals, deterministic from the seed.
+    Box–Muller over a seeded LCG-free PRNG (python's random) rounded to
+    6 decimals so the literal renders identically in Spark and SQL."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(bits)
+    ]
+
+
+def random_projection_bucket(
+    a: Column, bits: int, dim: int, seed: int = 0x5EED
+) -> Column:
+    """LSH bucket from sign(h_j · v) over seeded random hyperplanes.
+    bits × dim literals ride the plan (16 × 64 ≈ 1k — fine; for
+    dim ≥ 512 broadcast the matrix and assign in a pandas batch instead,
+    the _assign_cells pattern in operators/similarity.py)."""
+    M = projection_matrix(bits, dim, seed)
+    out = F.lit(0.0)
+    for j, row in enumerate(M):
+        h = F.array(*[F.lit(x) for x in row])
+        out = out + F.when(
+            dot(a, h) > 0, F.pow(F.lit(2.0), F.lit(float(j)))
+        ).otherwise(F.lit(0.0))
+    return out.cast("int")
+
+
+def random_projection_bucket_sql(
+    a: str, bits: int, dim: int, seed: int = 0x5EED
+) -> str:
+    M = projection_matrix(bits, dim, seed)
+    terms = []
+    for j, row in enumerate(M):
+        lits = ", ".join(repr(x) for x in row)
+        terms.append(
+            f"CASE WHEN {dot_sql(a, f'[{lits}]')} > 0 "
+            f"THEN 2.0 ** {j} ELSE 0.0 END"
+        )
+    return f"CAST(({' + '.join(terms)}) AS INT)"

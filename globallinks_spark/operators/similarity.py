@@ -103,6 +103,47 @@ def bucketed_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch kNN: for EVERY query row, the top-k nearest corpus rows by
+    cosine — the "embed new documents, find their neighbors" shape.
+
+    The query side broadcasts (it is the small side by construction), so
+    scoring is a map-side nested loop over the corpus — no shuffle until
+    the per-query top-k, and THAT shuffle carries only (query, corpus-id,
+    score) triples. Ranking uses the ROUNDED score plus the corpus id so
+    the cutoff is reproducible across engines. At scale, pre-filter the
+    corpus side with an LSH bucket join (probe_buckets per query) before
+    calling this — the operator composes, it doesn't re-bucket.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        F.round(V.cosine(F.col("v"), F.col("qv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 def _assign_cells(
     df: DataFrame, cents, vec_col: str
 ) -> DataFrame:

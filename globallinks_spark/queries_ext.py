@@ -314,6 +314,71 @@ FROM cands ORDER BY cosine DESC, vec_id LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# Q: ann_random_projection — sign-LSH over SEEDED random hyperplanes
+# (the production projection; coordinate axes are the didactic
+# stand-in). The bits × dim matrix is a pure function of the seed,
+# rounded to 6 decimals, so both engines inline identical literals and
+# the bucket assignment is hash-checked, not approximated.
+
+def q_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dim = len(qvec)
+    bucket = V.random_projection_bucket(F.col("embedding"), 8, dim)
+    qb = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(bucket.alias("b")).first()["b"]
+    )
+    cands = emb.withColumn("b", bucket).filter(F.col("b") == qb)
+    return cosine_topk(cands, qvec, k=5)
+
+
+def _sql_ann_random_projection(dim: int = 64) -> str:
+    b = V.random_projection_bucket_sql("embedding", 8, dim)
+    bq = V.random_projection_bucket_sql("qv", 8, dim)
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), cands AS (
+  SELECT e.vec_id, e.embedding, q.qv FROM embeddings e, q
+  WHERE {b} = {bq}
+)
+SELECT vec_id, round({V.cosine_sql('embedding', 'qv')}, 4) AS cosine
+FROM cands ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: knn_join — batch kNN: top-3 corpus neighbors for each of 5 query
+# vectors (broadcast nested loop + per-query window top-k).
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import knn_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_join(emb.filter(F.col("vec_id") < 5), emb, k=3)
+
+
+SQL_KNN_JOIN = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+    round({V.cosine_sql('e.embedding', 'q.qv')}, 4) AS cosine
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+  ) AS rn FROM scored
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: text_quality — length / token / punctuation / stopword metrics and a
 # composite keep-flag (the quality-scoring stage of a data pipeline).
 
@@ -1101,6 +1166,10 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     ),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
     "ann_multiprobe": QuerySpec(q_ann_multiprobe, SQL_ANN_MULTIPROBE),
+    "ann_random_projection": QuerySpec(
+        q_ann_random_projection, _sql_ann_random_projection(dim=64)
+    ),
+    "knn_join": QuerySpec(q_knn_join, SQL_KNN_JOIN),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "gopher_quality": QuerySpec(q_gopher_quality, _sql_gopher_quality()),
     "repetition_profile": QuerySpec(

@@ -435,3 +435,29 @@ class TestMultiProbe:
         r1, r8 = recall(1), recall(8)
         assert r8 >= r1  # monotone: probing more buckets never loses
         assert r8 >= 0.3  # 8 of 256 buckets must recover a real fraction
+
+
+class TestKnnJoin:
+    def test_each_query_finds_itself_first(self, spark):
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        out = S.knn_join(emb.filter(F.col("vec_id") < 3), emb, k=2).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for qid, rows in by_q.items():
+            assert len(rows) == 2
+            top = max(rows, key=lambda r: (r.cosine, -r.vec_id))
+            assert top.vec_id == qid and top.cosine == 1.0
+
+    def test_broadcasts_query_side(self, spark):
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        plan = (
+            S.knn_join(emb.filter(F.col("vec_id") < 3), emb, k=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
