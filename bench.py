@@ -71,6 +71,8 @@ BENCH_QUERIES = (
     "quantiles",
     "stats_agg",
     "pagerank",
+    "stratified_sample",
+    "dataset_split",
     "approx_profile",
     "ann_ivf",
 )

@@ -1092,6 +1092,77 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# Q: stratified_sample — per-language deterministic sampling (the
+# corpus-balancing stage of a training pipeline). Membership is
+# h60(doc_id) % 1000 < rate‰ via the cross-engine kernel — reproducible
+# run-to-run, engine-independent, and a stable row property (adding or
+# removing OTHER rows never changes a row's fate, unlike reservoir or
+# Bernoulli-by-seed sampling).
+
+_SAMPLE_RATES = {"en": 500, "de": 250, "fr": 100}  # per-mille by lang
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    key = H.h60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(rate))
+            for lang, rate in _SAMPLE_RATES.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        d.filter((key % 1000) < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _sql_stratified_sample() -> str:
+    key = H.h60_sql("'sample:' || CAST(doc_id AS VARCHAR)")
+    rate = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}"
+        for lang, r in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({key} % 1000) < (CASE {rate} ELSE 0 END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dataset_split — deterministic train/val/test assignment from the
+# same keyed hash (90/5/5). A row's split never changes as the corpus
+# grows — the property that keeps eval sets honest across dataset
+# versions.
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    slot = H.h60(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(slot < 90, "train")
+        .when(slot < 95, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+
+
+def _sql_dataset_split() -> str:
+    slot = f"({H.h60_sql(chr(39) + 'split:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 100)"
+    return f"""
+SELECT CASE WHEN {slot} < 90 THEN 'train'
+            WHEN {slot} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: pagerank — authority scoring over a link graph, the canonical next
 # query on a backlink database (Page & Brin 1998). Edges synthesize
 # deterministically from customer keys in BOTH engines (the q_url_parse
@@ -1191,6 +1262,10 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "quantiles": QuerySpec(q_quantiles, SQL_QUANTILES),
     "stats_agg": QuerySpec(q_stats_agg, SQL_STATS_AGG),
     "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample, _sql_stratified_sample()
+    ),
+    "dataset_split": QuerySpec(q_dataset_split, _sql_dataset_split()),
     "approx_profile": QuerySpec(q_approx_profile, None),  # rows-only
     "ann_ivf": QuerySpec(q_ann_ivf, None),                # rows-only
 }
