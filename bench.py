@@ -72,6 +72,7 @@ BENCH_QUERIES = (
     "stats_agg",
     "pagerank",
     "stratified_sample",
+    "tfidf_top_terms",
     "dataset_split",
     "approx_profile",
     "ann_ivf",

