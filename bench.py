@@ -74,6 +74,7 @@ BENCH_QUERIES = (
     "stratified_sample",
     "tfidf_top_terms",
     "dataset_split",
+    "curation_pipeline",
     "approx_profile",
     "ann_ivf",
 )

@@ -1092,6 +1092,85 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# Q: curation_pipeline — the end-to-end corpus-curation composition a
+# training run actually executes: Gopher quality gate ∧ near-duplicate
+# removal (LSH groups → keep only keepers) ∧ deterministic split
+# assignment. One statement in the oracle too (the dedup CTEs compose),
+# so the driver hash-checks the whole pipeline, not just its stages.
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.dedup import dedup_groups
+
+    d = load(spark, sf_dir, "documents")
+    deletes = (
+        dedup_groups(d, threshold=0.5)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    w = TX.words(F.col("text"))
+    n = F.size(w)
+    mwl = TX.mean_word_len(w)
+    sym = TX.symbol_word_ratio(F.col("text"), w)
+    nstop = TX.distinct_stopword_count(w)
+    passes = (
+        (n >= TX.GOPHER_MIN_WORDS) & (n <= TX.GOPHER_MAX_WORDS)
+        & (mwl >= TX.GOPHER_MIN_MEAN_WORD_LEN)
+        & (mwl <= TX.GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym < TX.GOPHER_MAX_SYMBOL_RATIO)
+        & (nstop >= TX.GOPHER_MIN_DISTINCT_STOPWORDS)
+    )
+    slot = H.h60(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(slot < 90, "train").when(slot < 95, "val").otherwise("test")
+    )
+    return (
+        d.filter(passes)
+        .join(deletes, "doc_id", "left_anti")
+        .select("doc_id", "lang", split.alias("split"))
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    mwl = TX.mean_word_len_sql("w.w")
+    sym = TX.symbol_word_ratio_sql("d.text", "w.w")
+    nstop = TX.distinct_stopword_count_sql("w.w")
+    slot = (
+        f"({H.h60_sql(chr(39) + 'split:' + chr(39) + ' || CAST(d.doc_id AS VARCHAR)')} % 100)"
+    )
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+sym_e AS (
+  SELECT doc_a AS a, doc_b AS b FROM lshp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM lshp
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym_e
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym_e s ON r.b = s.a
+),
+nonkeep AS (
+  SELECT a AS doc_id FROM reach GROUP BY a
+  HAVING a <> least(a, min(b))
+)
+SELECT d.doc_id, d.lang,
+  CASE WHEN {slot} < 90 THEN 'train'
+       WHEN {slot} < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+WHERE len(w.w) >= {TX.GOPHER_MIN_WORDS}
+  AND len(w.w) <= {TX.GOPHER_MAX_WORDS}
+  AND {mwl} >= {TX.GOPHER_MIN_MEAN_WORD_LEN}
+  AND {mwl} <= {TX.GOPHER_MAX_MEAN_WORD_LEN}
+  AND {sym} < {TX.GOPHER_MAX_SYMBOL_RATIO}
+  AND {nstop} >= {TX.GOPHER_MIN_DISTINCT_STOPWORDS}
+  AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tfidf_top_terms — corpus TF-IDF, top-3 characteristic tokens per
 # document (smooth idf = ln((N+1)/(df+1)) + 1). Two corpus-linear
 # aggregations (term freq, doc freq) + a broadcast scalar N; ranking on
@@ -1327,6 +1406,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_stratified_sample, _sql_stratified_sample()
     ),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "curation_pipeline": QuerySpec(
+        q_curation_pipeline, _sql_curation_pipeline()
+    ),
     "dataset_split": QuerySpec(q_dataset_split, _sql_dataset_split()),
     "approx_profile": QuerySpec(q_approx_profile, None),  # rows-only
     "ann_ivf": QuerySpec(q_ann_ivf, None),                # rows-only
