@@ -31,8 +31,19 @@ def _line_looks_like_record() -> "F.Column":
 def read_wat_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """One row per crawled page: (target_uri, warc_date, warc_ip, title,
     metas, head_links, links) — links still nested, exploded downstream.
+
+    ``ignoreCorruptFiles`` is set on THIS read (not session-wide): over
+    90k downloaded gzips some will be truncated, and one bad file must
+    not kill a 22-wave import — the reference logs the parse error and
+    moves to the next file (cmd/importer/main.go:257-263). Lines read
+    before the corruption point still parse (same as the reference,
+    which processes a WAT line-by-line until the error). Session-wide
+    the flag would also mask genuine corruption in our OWN parquet
+    output, so it stays scoped to the untrusted input.
     """
-    return wat_pages_from_lines(spark.read.text(paths))
+    return wat_pages_from_lines(
+        spark.read.option("ignoreCorruptFiles", "true").text(paths)
+    )
 
 
 def wat_pages_from_lines(raw: DataFrame) -> DataFrame:

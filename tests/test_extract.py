@@ -144,3 +144,32 @@ class TestPageRows:
             read_wat_pages(spark, str(p))
         ).collect()
         assert rows == []
+
+
+class TestCorruptFiles:
+    def test_truncated_gzip_skipped_not_fatal(self, spark, tmp_path):
+        """A truncated .gz among good WAT files must not fail the import
+        (reference: log + skip, main.go:257-263). Rows from the good
+        files all survive; the corrupt file contributes what it can."""
+        import gzip as _gzip
+        import os
+
+        from fixtures import write_wat_file
+        from globallinks_spark.operators.extract import extract_links
+        from globallinks_spark.sources.wat import read_wat_pages
+
+        good = str(tmp_path / "good-00000.warc.wat.gz")
+        write_wat_file(good)
+        baseline = extract_links(read_wat_pages(spark, [good])).count()
+        assert baseline > 0
+
+        # truncate a valid gzip mid-stream: header survives, body dies
+        blob = open(good, "rb").read()
+        corrupt = str(tmp_path / "bad-00001.warc.wat.gz")
+        with open(corrupt, "wb") as f:
+            f.write(blob[: len(blob) // 2])
+
+        total = extract_links(
+            read_wat_pages(spark, [good, corrupt])
+        ).count()
+        assert total >= baseline  # good file fully processed, no crash
