@@ -43,6 +43,7 @@ BENCH_QUERIES = (
     "dedup_exact",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_groups",
     "dedup_ngram_jaccard",
     "simhash_fingerprint",
     "embedding_cosine_topk",

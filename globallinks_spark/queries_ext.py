@@ -973,6 +973,9 @@ FROM base
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     base = d.select("doc_id", TX.words(F.col("text")).alias("w")).persist()
+    base.count()  # materialization barrier: three gram branches + the
+    # final join legs all read this frame in ONE action; without the
+    # barrier their tasks race to fill the cache and re-tokenize
 
     def top_ratio(gram_col, out: str) -> DataFrame:
         counts = (
