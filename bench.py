@@ -132,7 +132,11 @@ def main() -> None:
             # fixed 8-file shape: per-core normalization needs tasks big
             # enough that per-task overhead amortizes (32 × 3k-page files
             # under-report by ~5×); 8 × 12.5k pages matches the
-            # bench_extract.py CLI methodology in README
+            # bench_extract.py CLI methodology in README. Dividing by 8
+            # is exact whenever the session has ≥8 threads (gzip is
+            # unsplittable, so exactly 8 tasks run); with fewer threads
+            # the 8 tasks timeshare and the figure UNDER-reports —
+            # conservative, never inflated.
             extract = measure_extract(spark, n_pages=100_000, cores=8)
         except Exception as exc:
             print(f"# extract bench failed: {exc}", file=sys.stderr)

@@ -197,10 +197,6 @@ def bpe_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_REGEX}'))"
 
 
-def bpe_token_count_sql(expr: str) -> str:
-    return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_REGEX}'))"
-
-
 # ---------------------------------------------------------------------------
 # Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", §A1.1 — public

@@ -96,7 +96,12 @@ def _etld_expr_parts(
     """
     big_markers = big_markers or {}
     if labels is None:
-        labels = F.split(host, r"\.")
+        # strip leading/trailing dots before splitting — the pure-Python
+        # spec does (psl.etld_plus_one_py), and without it a trailing dot
+        # ('example.com.') adds an empty label, every suffix probe
+        # misses, and the expression emits 'com.' instead of the spec's
+        # 'example.com'
+        labels = F.split(F.regexp_replace(host, r"^\.+|\.+$", ""), r"\.")
     n = F.size(labels)
 
     def suffix(k: int) -> Column:
@@ -162,8 +167,13 @@ def _build_etld_expr(host: Column) -> Column:
 
 # Broadcast suffix tables for the two large rule lengths, cached per
 # SparkSession (a DataFrame is session-bound; the underlying local
-# relation is ~100 KB and broadcasts once per query).
-_suffix_df_cache: dict[tuple[int, int], "DataFrame"] = {}
+# relation is ~100 KB and broadcasts once per query). Weak-keyed on the
+# session object: an id()-keyed dict both leaked stopped sessions and
+# could hand a NEW session a stale DataFrame bound to a dead JVM plan
+# when CPython reuses the address.
+import weakref
+
+_suffix_df_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 # Built marker-based eTLD+1 trees, keyed by host column name (the tree
 # also references the fixed __psl_m2/__psl_m3 join-marker names).
@@ -171,19 +181,20 @@ _etld_marker_expr_cache: dict[str, Column] = {}
 
 
 def _suffix_df(spark, k: int):
-    key = (id(spark), k)
-    if key not in _suffix_df_cache:
+    per_session = _suffix_df_cache.setdefault(spark, {})
+    key = k
+    if key not in per_session:
         # One ~80 KB string literal split JVM-side: row-by-row
         # createDataFrame of the 5.8k-rule table costs ~2.5 s of py4j
         # serialization (measured); this is one gateway call and the
         # split/explode runs in the JVM.
         packed = "|".join(sorted(psl.EXACT_BY_LEN[k]))
-        _suffix_df_cache[key] = (
+        per_session[key] = (
             spark.range(1)
             .select(F.explode(F.split(F.lit(packed), r"[|]")).alias(f"__psl_s{k}"))
             .withColumn(f"__psl_m{k}", F.lit(True))
         )
-    return _suffix_df_cache[key]
+    return per_session[key]
 
 
 def with_registrable_domain(
@@ -215,7 +226,14 @@ def with_registrable_domain(
     # ~90× (CollapseProject re-inlines deterministic aliases into every
     # reference; measured the duplication doubles Janino compile time).
     from globallinks_spark.functions.binding import bind_once
-    df = df.withColumn("__psl_labels", bind_once(F.split(host, r"\.")))
+    # dot-strip before split: parity with psl.etld_plus_one_py on hosts
+    # with leading/trailing dots (see _etld_expr_parts)
+    df = df.withColumn(
+        "__psl_labels",
+        bind_once(
+            F.split(F.regexp_replace(host, r"^\.+|\.+$", ""), r"\.")
+        ),
+    )
     labels = F.col("__psl_labels")
     n = F.size(labels)
 

@@ -104,9 +104,17 @@ def parse_api_request(body: bytes) -> LinkQuery:
     # accepts http://domain.com and domain.com (handler.go:46-53)
     if isinstance(domain, str) and domain.startswith("http"):
         domain = urllib.parse.urlparse(domain).netloc or domain
+    raw_filters = doc.get("filters") or []
+    if not isinstance(raw_filters, list) or not all(
+        isinstance(f, dict) for f in raw_filters
+    ):
+        # anything else (string, list of strings, …) must surface as the
+        # reference's 400 ErrorParsing, not an uncaught AttributeError
+        # that drops the connection
+        raise ValueError("filters must be a list of objects")
     filters = [
         (f.get("name", ""), f.get("val", ""), f.get("kind", "exact"))
-        for f in (doc.get("filters") or [])
+        for f in raw_filters
     ]
     return LinkQuery(
         domain=str(domain),

@@ -407,6 +407,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = -1
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -433,6 +434,17 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # silently returning a non-fixpoint labeling would split one
+        # true component into several "keepers" — duplicates survive
+        # while the pipeline reports success. Near-dup components are
+        # shallow; hitting this means the graph (or threshold) is not
+        # what the caller thinks it is.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget); raise "
+            "max_iterations or inspect the pair graph"
+        )
     return labels.select(
         F.col("node"), F.col("label").alias("component")
     )

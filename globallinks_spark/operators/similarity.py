@@ -323,9 +323,13 @@ def near_dup_pairs_vectorized(
     """
     import pandas as pd
 
+    # id columns keep the INPUT's type — the expression form aliases the
+    # id column through untouched, and a hardcoded bigint would make
+    # string ids an Arrow conversion error
+    id_type = embeddings.schema[id_col].dataType
     out_schema = T.StructType([
-        T.StructField("vec_a", T.LongType()),
-        T.StructField("vec_b", T.LongType()),
+        T.StructField("vec_a", id_type),
+        T.StructField("vec_b", id_type),
         T.StructField("cosine", T.DoubleType()),
     ])
 
@@ -334,8 +338,8 @@ def near_dup_pairs_vectorized(
 
         if len(pdf) < 2:
             return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
+                {"vec_a": pdf["id"].iloc[:0],
+                 "vec_b": pdf["id"].iloc[:0],
                  "cosine": pd.Series(dtype="float64")}
             )
         pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -343,13 +347,17 @@ def near_dup_pairs_vectorized(
         nrm = np.linalg.norm(M, axis=1)
         G = (M @ M.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(pdf), k=1)
-        cos = np.round(G[iu, ju], 4)
-        keep = cos >= threshold
+        raw = G[iu, ju]
+        # threshold on the RAW cosine, round only for output — exactly
+        # the expression form's order (filter then round); thresholding
+        # the rounded value diverges from the shared oracle for pairs in
+        # the [threshold - 5e-5, threshold) band
+        keep = raw >= threshold
         ids = pdf["id"].to_numpy()
         return pd.DataFrame({
             "vec_a": ids[iu[keep]],
             "vec_b": ids[ju[keep]],
-            "cosine": cos[keep],
+            "cosine": np.round(raw[keep], 4),
         })
 
     base = embeddings.select(

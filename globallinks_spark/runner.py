@@ -206,7 +206,14 @@ def run_archive(
             base_url=base_url, throttle_sec=throttle_sec,
         )
         if not local:
-            break
+            if seg_arg is not None:
+                # an explicitly requested segment that isn't in the
+                # manifest (or is already done) must not abandon the
+                # REST of the requested list
+                if want:
+                    continue
+                break
+            break  # auto-select mode: archive exhausted
         if max_files is not None:
             local = local[:max_files]
         seg = os.path.basename(os.path.dirname(local[0]))

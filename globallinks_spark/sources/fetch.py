@@ -54,7 +54,7 @@ def download_file(
     skip as complete."""
     delay = retry_delay_sec
     last_err: Exception | None = None
-    for _ in range(max_retries + 1):
+    for attempt in range(max_retries + 1):
         try:
             with urllib.request.urlopen(url) as resp:
                 tmp = output_path + ".part"
@@ -68,6 +68,8 @@ def download_file(
                 return
         except urllib.error.HTTPError as e:
             last_err = e
+            if attempt == max_retries:
+                break  # outcome decided — don't sleep before raising
             if e.code == 503:  # exponential back-off path
                 sleep_fn(delay)
                 delay *= 2
@@ -75,6 +77,8 @@ def download_file(
                 sleep_fn(retry_delay_sec)
         except (urllib.error.URLError, OSError) as e:
             last_err = e
+            if attempt == max_retries:
+                break
             sleep_fn(retry_delay_sec)
     raise DownloadError(
         f"failed to download url {url} after retries: {last_err}"

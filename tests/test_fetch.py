@@ -261,3 +261,33 @@ class TestRunArchive:
             links.filter("page_host = 'only-in-file-two.example.org'").count()
             == 0
         )
+
+
+class TestFinalAttemptNoSleep:
+    def test_no_sleep_after_last_failure(self, http_base, tmp_path):
+        """Exhausted retries must raise immediately — sleeping after the
+        outcome is decided adds 20-80 s per permanently-failing URL
+        (hours over a 90k-file manifest)."""
+        _Handler.fail_plan["/gone"] = [503, 503, 503]
+        sleeps: list[float] = []
+        with pytest.raises(DownloadError):
+            download_file(
+                http_base + "gone", str(tmp_path / "f"),
+                max_retries=2, sleep_fn=sleeps.append,
+            )
+        assert sleeps == [20.0, 40.0]  # no third sleep before the raise
+
+
+class TestRunArchiveSkipsMissingNamedSegment:
+    def test_bogus_segment_does_not_abandon_rest(
+        self, wat_http_base, tmp_path, spark
+    ):
+        from globallinks_spark.runner import run_archive
+
+        done = run_archive(
+            spark, "CC-MAIN-2023-06", str(tmp_path),
+            segments=["no-such-segment", "1674764494826.88"],
+            max_segments=2,
+            base_url=wat_http_base, throttle_sec=0,
+        )
+        assert done == ["1674764494826.88"]

@@ -184,3 +184,15 @@ class TestEndToEnd:
             assert (status, doc["errorCode"]) == (429, "ErrorTooManyRequests")
         finally:
             srv.shutdown()
+
+
+class TestMalformedFilters:
+    def test_non_dict_filter_entries_return_400(self, served):
+        """A filters list of strings must surface as the reference's 400
+        ErrorParsing, not an uncaught AttributeError dropping the
+        connection (round-2 review finding)."""
+        for bad in (["nofollow"], "nofollow", {"name": "x"}, [1, 2]):
+            status, doc, _ = _post(
+                served, {"domain": "example.com", "filters": bad}
+            )
+            assert (status, doc["errorCode"]) == (400, "ErrorParsing"), bad

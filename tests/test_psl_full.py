@@ -136,3 +136,42 @@ class TestJvmExpressionParity:
         ).collect()
         bad = [r for r in rows if r["jvm"] != r["udf"]]
         assert bad == []
+
+
+class TestDottedHosts:
+    """Leading/trailing dots: the Python spec strips them; the JVM
+    expression and broadcast-join path must agree (round-2 review found
+    the unstripped split emitting 'com.' for 'example.com.')."""
+
+    CASES = [
+        "example.com.", ".example.com", "www.example.co.uk.",
+        "..a.example.com", "example.", ".", "com.",
+    ]
+
+    def test_broadcast_join_path_strips_dots(self, spark):
+        from globallinks_spark.functions import psl
+        from globallinks_spark.functions import urltools as U
+
+        df = spark.createDataFrame([(h,) for h in self.CASES], "host string")
+        got = {
+            r["host"]: r["d"]
+            for r in U.with_registrable_domain(df, "host", "d").collect()
+        }
+        for h in self.CASES:
+            assert got[h] == psl.etld_plus_one_py(h), h
+
+    def test_inline_expression_strips_dots(self, spark):
+        from pyspark.sql import functions as F
+
+        from globallinks_spark.functions import psl
+        from globallinks_spark.functions import urltools as U
+
+        df = spark.createDataFrame([(h,) for h in self.CASES], "host string")
+        got = {
+            r["host"]: r["d"]
+            for r in df.select(
+                "host", U.etld_plus_one(F.col("host")).alias("d")
+            ).collect()
+        }
+        for h in self.CASES:
+            assert got[h] == psl.etld_plus_one_py(h), h
