@@ -59,9 +59,9 @@ def measure_extract(spark, n_pages: int, cores: int) -> dict:
     the measurement dict. ``spark`` is reused (bench.py passes its own
     session); ``cores`` only scales the pages/min/core normalization.
 
-    Warmup: two throwaway passes. The first triggers Janino codegen and
-    queues HotSpot C2 compilation of the big generated methods; the
-    second lets C2 finish replacing interpreted frames. The timed pass
+    Warmup: three throwaway passes. The first triggers Janino codegen
+    and queues HotSpot C2 compilation of the big generated methods; the
+    later ones let C2 finish replacing interpreted frames. The timed pass
     then reflects steady-state throughput — the regime that matters for
     a 90k-file archive import that runs for hours (the reference's
     ~30 s/WAT baseline is equally sustained-regime,
