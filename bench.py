@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "dedup_groups",
     "dedup_ngram_jaccard",
     "simhash_fingerprint",
+    "simhash_near_dup",
     "embedding_cosine_topk",
     "embedding_near_dup",
     "embedding_near_dup_vec",

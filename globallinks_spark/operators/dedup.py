@@ -361,8 +361,8 @@ def winnow_fingerprints(
 
 def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Documents sharing an identical simhash (hamming-0 groups). For
-    hamming ≤ k at scale, band the fingerprint into k+1 segments and
-    equi-join per segment (same LSH shape as minhash bands)."""
+    hamming ≤ k use :func:`simhash_near_dup_pairs` — the banded
+    segment-join version of the same idea."""
     sh = simhash(docs, bits)
     return (
         sh.groupBy("simhash")
@@ -371,6 +371,89 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def _segments(bits: int, n: int) -> list[tuple[int, int]]:
+    """Split a ``bits``-wide fingerprint into ``n`` contiguous
+    (start, width) segments whose widths differ by at most one."""
+    base, extra = divmod(bits, n)
+    segs, start = [], 0
+    for i in range(n):
+        width = base + (1 if i < extra else 0)
+        segs.append((start, width))
+        start += width
+    return segs
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, bits: int = 16, k: int = 2
+) -> DataFrame:
+    """Near-duplicate pairs at hamming distance ≤ ``k`` over simhash
+    fingerprints — the banded segment-join from Manku/Jain/Sarma (WWW'07,
+    "Detecting Near-Duplicates for Web Crawling"), which is how simhash
+    is actually used at crawl scale (identical-fingerprint grouping adds
+    almost nothing over exact dedup).
+
+    Shape: split the ``bits``-wide fingerprint into ``k + 1`` contiguous
+    segments. Two fingerprints within hamming ``k`` differ in at most
+    ``k`` bit positions, so by pigeonhole at least one segment matches
+    exactly — a per-segment equi-join on (segment_id, segment_value)
+    therefore generates a candidate superset with *perfect recall*, and
+    an exact popcount(xor) pass keeps the true pairs. This operator is
+    exact, not approximate: its output is precisely
+    ``{(a, b) : hamming(simhash(a), simhash(b)) <= k}``.
+
+    Scale: the segment join is the only shuffle, keyed on
+    (segment, value) so each bucket holds only documents agreeing on a
+    ``bits/(k+1)``-bit slice; verification is a row-local bitwise
+    expression (``bit_count(a ^ b)``), no re-join against the corpus.
+    Widen ``bits`` (h30 supports up to 30) to keep buckets sparse as the
+    corpus grows. The reference has no simhash at all — this is a
+    training-data-pipeline extension (SURVEY §2 extension block).
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    sh = simhash(docs, bits)
+    segs = _segments(bits, k + 1)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("seg"),
+            F.expr(f"(simhash >> {start}) & {(1 << width) - 1}").alias("sv"),
+        )
+        for i, (start, width) in enumerate(segs)
+    ])
+    banded = (
+        sh.select("doc_id", "simhash", F.explode(bands).alias("s"))
+        .select("doc_id", "simhash", F.col("s.seg").alias("seg"),
+                F.col("s.sv").alias("sv"))
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.sv") == F.col("b.sv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        # a pair within hamming k can agree on SEVERAL segments — dedup
+        # the candidate multi-set before verification
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)")
+        )
+        .filter(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

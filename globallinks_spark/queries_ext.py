@@ -174,7 +174,8 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"), bits=16)
 
 
-SQL_SIMHASH = f"""
+def _sql_simhash(bits: int) -> str:
+    return f"""
 WITH w AS (
   SELECT doc_id, {TX.words_sql('text')} AS w FROM documents
 ), toks AS (
@@ -186,12 +187,43 @@ WITH w AS (
 ), votes AS (
   SELECT doc_id, bit,
     sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v
-  FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS bit)
+  FROM th CROSS JOIN (SELECT unnest(range(0, {bits})) AS bit)
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
   CAST(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
+"""
+
+
+SQL_SIMHASH = _sql_simhash(16)
+
+
+# ---------------------------------------------------------------------------
+# Q: simhash_near_dup — banded hamming<=k simhash join (Manku WWW'07
+# shape). The oracle replays the banded join's *semantics* — which are
+# exactly {pairs : hamming <= k} by the pigeonhole guarantee — as an
+# all-pairs xor+popcount over the same simhash CTE; cheap at oracle SF,
+# while the Spark side runs the segment-join plan that scales. Full
+# 30-bit fingerprints (h30's width): at 16 bits a 50k-doc corpus packs
+# ~1.5k docs into every 5-bit segment bucket AND drowns the answer in
+# random hamming-2 collisions — wider fingerprints are what keep both
+# the buckets and the result sparse as the corpus grows.
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), bits=30, k=2
+    )
+
+
+SQL_SIMHASH_NEAR_DUP = f"""
+WITH sh AS ({_sql_simhash(30)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
 
 
@@ -1371,6 +1403,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_groups": QuerySpec(q_dedup_groups, _sql_dedup_groups()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash_fingerprint": QuerySpec(q_simhash_fingerprint, SQL_SIMHASH),
+    "simhash_near_dup": QuerySpec(q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "embedding_cosine_topk": QuerySpec(
         q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK
     ),
