@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     "dataset_split",
     "curation_pipeline",
     "approx_profile",
+    "approx_profile_bound",
     "ann_ivf",
 )
 

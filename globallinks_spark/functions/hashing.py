@@ -18,12 +18,16 @@ the oracle SQL can inline the same constants.
 
 md5 costs more than xxhash64 per call; at 100 TB call
 ``use_kernel("xxhash64")`` (or set ``GLOBALLINKS_HASH_KERNEL=xxhash64``)
-once results no longer need to be replayed in a second engine — the
-operator algebra is hash-agnostic, and
-tests/test_dedup_similarity.py::TestXxhashKernel pins that the dedup
-family produces the same PAIRS under either kernel (Jaccard over hashed
-shingle sets equals Jaccard over the shingles themselves, collision
-probability aside — the kernel only relabels set elements).
+once results no longer need to be replayed in a second engine. What IS
+kernel-independent (collision probability aside): any operator that
+compares hashed shingle SETS — exact n-gram Jaccard's output is
+identical under either kernel because hashing only relabels set
+elements. What is NOT: minhash/LSH *candidate generation*, which
+depends on the permutation family over the kernel's values, so each
+kernel may recall a (different) subset of the true pairs; verified
+pairs under either kernel are always a subset of the exact ground
+truth with identical Jaccard values. TestXxhashKernel pins exactly
+these two statements, not blanket pair equality.
 """
 
 from __future__ import annotations

@@ -165,15 +165,15 @@ def _build_etld_expr(host: Column) -> Column:
     return _etld_expr_parts(host)
 
 
-# Broadcast suffix tables for the two large rule lengths, cached per
-# SparkSession (a DataFrame is session-bound; the underlying local
-# relation is ~100 KB and broadcasts once per query). Weak-keyed on the
-# session object: an id()-keyed dict both leaked stopped sessions and
-# could hand a NEW session a stale DataFrame bound to a dead JVM plan
-# when CPython reuses the address.
-import weakref
-
-_suffix_df_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# Packed suffix-rule strings for the two large rule lengths —
+# session-INDEPENDENT, so a plain module dict is safe. Only the string
+# is cached: an earlier version cached the built DataFrames weak-keyed
+# by session, but a DataFrame strongly references its SparkSession, so
+# the WeakKeyDictionary's values pinned their own keys and stopped
+# sessions stayed alive (round-2 advice). Rebuilding the frame is three
+# gateway calls on a 1-row range — nothing; the cost worth caching is
+# the one ~80 KB join over the 5.8k-rule set below.
+_packed_rules_cache: dict[int, str] = {}
 
 # Built marker-based eTLD+1 trees, keyed by host column name (the tree
 # also references the fixed __psl_m2/__psl_m3 join-marker names).
@@ -181,20 +181,18 @@ _etld_marker_expr_cache: dict[str, Column] = {}
 
 
 def _suffix_df(spark, k: int):
-    per_session = _suffix_df_cache.setdefault(spark, {})
-    key = k
-    if key not in per_session:
-        # One ~80 KB string literal split JVM-side: row-by-row
-        # createDataFrame of the 5.8k-rule table costs ~2.5 s of py4j
-        # serialization (measured); this is one gateway call and the
-        # split/explode runs in the JVM.
-        packed = "|".join(sorted(psl.EXACT_BY_LEN[k]))
-        per_session[key] = (
-            spark.range(1)
-            .select(F.explode(F.split(F.lit(packed), r"[|]")).alias(f"__psl_s{k}"))
-            .withColumn(f"__psl_m{k}", F.lit(True))
-        )
-    return per_session[key]
+    if k not in _packed_rules_cache:
+        _packed_rules_cache[k] = "|".join(sorted(psl.EXACT_BY_LEN[k]))
+    # One ~80 KB string literal split JVM-side: row-by-row
+    # createDataFrame of the 5.8k-rule table costs ~2.5 s of py4j
+    # serialization (measured); this is one gateway call and the
+    # split/explode runs in the JVM.
+    packed = _packed_rules_cache[k]
+    return (
+        spark.range(1)
+        .select(F.explode(F.split(F.lit(packed), r"[|]")).alias(f"__psl_s{k}"))
+        .withColumn(f"__psl_m{k}", F.lit(True))
+    )
 
 
 def with_registrable_domain(

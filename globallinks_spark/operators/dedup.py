@@ -516,6 +516,21 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # the loop ran out of budget while its LAST round still changed
+        # labels — but that round may have been the one that reached the
+        # fixpoint (convergence is only observable via a zero-change
+        # round). One extra verification pass distinguishes "converged
+        # exactly on the budget" from a genuinely unfinished propagation.
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("nbr_min"))
+        )
+        changed = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"])
+            .filter(F.col("nbr_min") < F.col("label"))
+            .count()
+        )
     sym.unpersist()
     if changed != 0:
         # silently returning a non-fixpoint labeling would split one

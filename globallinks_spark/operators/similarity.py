@@ -211,12 +211,16 @@ def build_ivf_index(
     import numpy as np
 
     # iterative algorithm: cache the input for the seed + per-iteration
-    # passes (Spark's ContextCleaner unpersists when the frame is GC'd,
-    # so a one-shot build leaks nothing)
-    embeddings = embeddings.persist()
+    # passes. Unpersisted explicitly before returning — a long-lived
+    # session composing many indexes must not accumulate cached corpora
+    # until ContextCleaner GC gets around to them; the returned lazy
+    # assignment is built over the UNCACHED frame (one fresh scan, which
+    # the caller pays exactly once on materialization).
+    source = embeddings
+    cached = embeddings.persist()
 
     # seed: evenly-strided sample by id order (deterministic)
-    seeds = embeddings.orderBy(id_col).limit(n_cells * 7).collect()
+    seeds = cached.orderBy(id_col).limit(n_cells * 7).collect()
     centroids = np.asarray(
         [
             [float(x) for x in seeds[min(i * 7, len(seeds) - 1)][vec_col]]
@@ -263,7 +267,7 @@ def build_ivf_index(
             })
 
         rows = (
-            embeddings.mapInPandas(partials, partial_schema)
+            cached.mapInPandas(partials, partial_schema)
             .groupBy("cell")
             .applyInPandas(reduce_cell, partial_schema)
             .collect()
@@ -272,7 +276,10 @@ def build_ivf_index(
         for r in rows:  # empty cells keep their previous centroid
             centroids[r["cell"]] = np.asarray(r["sums"]) / r["cnt"]
 
-    assigned = _assign_cells(embeddings, centroids, vec_col)
+    # every action that needed the cache has run; blocking so the
+    # storage is provably gone when we return (the leak test pins this)
+    cached.unpersist(blocking=True)
+    assigned = _assign_cells(source, centroids, vec_col)
     return [list(map(float, c)) for c in centroids], assigned
 
 

@@ -730,8 +730,16 @@ FROM lineitem GROUP BY l_returnflag
 
 # ---------------------------------------------------------------------------
 # Q: ann_ivf — inverted-file ANN (k-means cells, probe nearest cells).
-# No SQL oracle: the index is iterative model state; tests bound recall
-# against brute force instead (driver records rows-only).
+# Full value oracle: build_ivf_index is deterministic by construction
+# (id-stride seeds, fixed-count Lloyd iterations, float64 reductions), so
+# the WHOLE pipeline — seed, two unrolled Lloyd rounds, final assignment,
+# probe-cell selection, cosine top-k — replays as SQL CTEs against the
+# same view (the pagerank-oracle pattern, iterations unrolled). Engines
+# accumulate float64 dot products in different orders (BLAS dgemm vs
+# sequential list_sum), but assignments are argmins over distances that
+# differ at ~1e-13 relative while random-data distance gaps sit many
+# orders above that, and the output cosine rounds to 4 decimals — the
+# same tolerance argument every embedding oracle in this file relies on.
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import ivf_topk
@@ -739,6 +747,80 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
+
+
+def _sql_ann_ivf(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """SQL replay of build_ivf_index(n_cells, iterations=2) + ivf_topk.
+
+    Mirrors similarity.py line-for-line in semantics: seeds are the
+    id-ordered stride-7 sample (rank min(cell*7, n_seeds-1) — the same
+    clamp build_ivf_index applies when the corpus is short); assignment
+    is argmin over c·c − 2·v·c with first-minimum (lowest cell) ties;
+    empty cells keep their previous centroid via COALESCE; probe order
+    is full squared distance with stable (cell-index) ties."""
+    seed_cap = n_cells * 7
+
+    def assign(prev_c: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), c.cell
+      ) AS rk
+    FROM e CROSS JOIN {prev_c} c
+  ) WHERE rk = 1
+)"""
+
+    def update(prev_c: str, assigned: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT {prev_c}.cell, COALESCE(u.c, {prev_c}.c) AS c
+  FROM {prev_c} LEFT JOIN (
+    SELECT cell, list(s / cnt ORDER BY i) AS c FROM (
+      SELECT {assigned}.cell, d.i, sum(e.v[d.i]) AS s, count(*) AS cnt
+      FROM {assigned} JOIN e USING (vec_id) CROSS JOIN dims d
+      GROUP BY {assigned}.cell, d.i
+    ) GROUP BY cell
+  ) u ON u.cell = {prev_c}.cell
+)"""
+
+    return f"""
+WITH dims AS (
+  SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i
+), e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v
+  FROM e ORDER BY vec_id LIMIT {seed_cap}
+), nseed AS (SELECT count(*) AS n FROM seeds),
+cells AS (
+  SELECT unnest(range(0, least({n_cells}, (SELECT n FROM nseed)))) AS cell
+), c0 AS (
+  SELECT cells.cell, s.v AS c
+  FROM cells, seeds s, nseed
+  WHERE s.rn = least(cells.cell * 7, nseed.n - 1)
+), {assign('c0', 'a1')}, {update('c0', 'a1', 'c1')},
+{assign('c1', 'a2')}, {update('c1', 'a2', 'c2')},
+{assign('c2', 'af')}, qv AS (
+  SELECT embedding AS q,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q64
+  FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT cell FROM (
+    SELECT c2.cell,
+      list_sum(list_transform(range(1, len(c2.c) + 1),
+        i -> (qv.q64[i] - c2.c[i]) * (qv.q64[i] - c2.c[i]))) AS d2
+    FROM c2, qv ORDER BY d2, c2.cell LIMIT {n_probe}
+  )
+), scored AS (
+  SELECT e.vec_id,
+    round({V.cosine_sql('e.embedding', 'qv.q')}, 4) AS cosine
+  FROM e JOIN af USING (vec_id), qv
+  WHERE af.cell IN (SELECT cell FROM probe)
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -853,9 +935,12 @@ FROM lineitem GROUP BY l_linestatus
 
 # ---------------------------------------------------------------------------
 # Q: approx_profile — sketch-based profiling (HLL distinct counts). The
-# sketch is engine-specific so there is no value oracle — the driver
-# records its rows-only check; tests/test_queries_oracle.py additionally
-# bounds the estimate against the exact count.
+# sketch estimate is engine-specific so the raw-estimate query has no
+# value oracle — the driver records its rows-only check; tests
+# additionally bound the estimate against the exact count. The companion
+# approx_profile_bound query turns that bound INTO the oracle: it emits
+# exact counts plus within-bound booleans, so its hash-green row is a
+# numeric driver-side pin of the sketch's error contract.
 
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -864,6 +949,41 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def q_approx_profile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimates checked against exact distinct counts IN the query:
+    the output carries the exact counts and a boolean per sketch column
+    asserting |estimate − exact| ≤ 10% · exact (5× the requested
+    rsd=0.02 — far outside HLL's realistic deviation, so the row is
+    deterministic, yet tight enough that a broken sketch flips it). The
+    estimates themselves stay out of the output on purpose: they are the
+    one engine-specific value, and the contract is what's checkable."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "n_rows", "exact_parts", "exact_orders",
+        (F.abs(F.col("ap") - F.col("exact_parts"))
+         <= F.col("exact_parts") * 0.1).alias("parts_within_bound"),
+        (F.abs(F.col("ao") - F.col("exact_orders"))
+         <= F.col("exact_orders") * 0.1).alias("orders_within_bound"),
+    )
+
+
+SQL_APPROX_PROFILE_BOUND = """
+SELECT count(*) AS n_rows,
+  count(DISTINCT l_partkey) AS exact_parts,
+  count(DISTINCT l_orderkey) AS exact_orders,
+  TRUE AS parts_within_bound,
+  TRUE AS orders_within_bound
+FROM lineitem
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1446,6 +1566,11 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_curation_pipeline, _sql_curation_pipeline()
     ),
     "dataset_split": QuerySpec(q_dataset_split, _sql_dataset_split()),
-    "approx_profile": QuerySpec(q_approx_profile, None),  # rows-only
-    "ann_ivf": QuerySpec(q_ann_ivf, None),                # rows-only
+    # rows-only BY NATURE (engine-specific estimate values); its error
+    # contract is hash-checked by approx_profile_bound below
+    "approx_profile": QuerySpec(q_approx_profile, None),
+    "approx_profile_bound": QuerySpec(
+        q_approx_profile_bound, SQL_APPROX_PROFILE_BOUND
+    ),
+    "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
 }

@@ -197,6 +197,10 @@ def run_archive(
     parallelism and needs no plumbing. Returns the segments processed —
     already-done segments are skipped by the _SUCCESS markers, so the
     whole loop is rerun-safe."""
+    if max_files is not None and max_files <= 0:
+        # the reference's <maxfiles> arg is a positive smoke-run budget;
+        # 0 would slice the work list to [] and crash on local[0] below
+        raise ValueError(f"max_files must be positive, got {max_files}")
     want = list(segments) if segments else []
     processed: list[str] = []
     for _ in range(max_segments):

@@ -287,6 +287,31 @@ class TestConnectedComponents:
         assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
                        (20, 20), (21, 20), (22, 20)]
 
+    def test_converges_exactly_on_budget(self, spark):
+        """A path graph 0-1-2-3 reaches its fixpoint ON round 3 (every
+        round changes labels), so max_iterations=3 never observes a
+        zero-change round — the extra verification pass must recognize
+        the correct fixpoint instead of raising (round-2 advice)."""
+        from globallinks_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        got = sorted(
+            (r.node, r.component)
+            for r in connected_components(pairs, max_iterations=3).collect()
+        )
+        assert got == [(0, 0), (1, 0), (2, 0), (3, 0)]
+
+    def test_raises_when_budget_truly_short(self, spark):
+        from globallinks_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iterations=2).collect()
+
     def test_dedup_groups_keeper_and_delete_list(self, spark):
         """Two exact-duplicate clusters in a small corpus → smallest
         doc_id kept per cluster, the rest on the delete list; unique
@@ -394,35 +419,70 @@ class TestIVF:
         # the query vector itself must be its own nearest neighbour
         assert hits and hits[0].vec_id == 7
 
+    def test_build_leaves_no_persisted_frames(self, spark, corpus):
+        """build_ivf_index persists its input for the seed + Lloyd
+        passes; a long-lived session composing many indexes must get
+        that storage back deterministically, not at ContextCleaner GC's
+        leisure (round-2 verdict)."""
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        _, assigned = S.build_ivf_index(corpus, n_cells=8)
+        assert assigned.count() == 200  # materialize the lazy assignment
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before
+
 
 class TestXxhashKernel:
-    """The production (non-oracle) hash kernel. The dedup family's
-    OUTPUT is kernel-independent: shingle hashing only relabels set
-    elements, and exact-Jaccard verification compares the sets — so the
-    verified pair list must match the md5 kernel's bit-for-bit
-    (collisions aside). Minhash candidate sets may differ (different
-    permutation family), which is why the assertion is on the final
-    verified pairs, not candidates."""
+    """The production (non-oracle) hash kernel. Two properties hold BY
+    CONSTRUCTION and are what these tests pin (round-2 advice: blanket
+    pair equality across kernels is fixture luck, since LSH candidate
+    generation is kernel-dependent):
+
+    - EXACT operators (n-gram Jaccard) are kernel-independent: hashing
+      only relabels set elements, so the pair list and Jaccard values
+      match bit-for-bit (collisions aside).
+    - minhash/LSH verified pairs under ANY kernel are a subset of that
+      exact ground truth (precision 1.0 — verification is exact), even
+      though each kernel's candidate recall may differ."""
 
     def _docs(self, spark):
         from globallinks_spark.queries import load
 
         return load(spark, "/root/testdata/sf0.001", "documents")
 
-    def test_minhash_pairs_match_md5_kernel(self, spark):
+    def test_exact_jaccard_identical_across_kernels(self, spark):
         from globallinks_spark.functions import hashing as H
 
         docs = self._docs(spark)
         md5_pairs = {
-            (r.doc_a, r.doc_b)
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        with H.kernel("xxhash64"):
+            xx_pairs = {
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+            }
+        assert md5_pairs == xx_pairs and len(md5_pairs) > 0
+
+    def test_minhash_pairs_subset_of_ground_truth_each_kernel(self, spark):
+        from globallinks_spark.functions import hashing as H
+
+        docs = self._docs(spark)
+        truth = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        md5_pairs = {
+            (r.doc_a, r.doc_b, r.jaccard)
             for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
         }
         with H.kernel("xxhash64"):
             xx_pairs = {
-                (r.doc_a, r.doc_b)
+                (r.doc_a, r.doc_b, r.jaccard)
                 for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
             }
-        assert md5_pairs == xx_pairs and len(md5_pairs) > 0
+        assert md5_pairs and md5_pairs <= truth
+        assert xx_pairs and xx_pairs <= truth
 
     def test_xxhash_is_cheaper_shaped(self, spark):
         """Plan sanity: the xxhash kernel keeps everything JVM-side and

@@ -262,6 +262,19 @@ class TestRunArchive:
             == 0
         )
 
+    def test_max_files_zero_rejected(self, wat_http_base, tmp_path, spark):
+        """max_files=0 used to slice the work list to [] and crash on
+        local[0] with IndexError (round-2 advice) — reject it up front."""
+        import pytest
+
+        from globallinks_spark.runner import run_archive
+
+        with pytest.raises(ValueError, match="max_files"):
+            run_archive(
+                spark, "CC-MAIN-2023-06", str(tmp_path), max_files=0,
+                base_url=wat_http_base, throttle_sec=0,
+            )
+
 
 class TestFinalAttemptNoSleep:
     def test_no_sleep_after_last_failure(self, http_base, tmp_path):
