@@ -6,7 +6,7 @@
     python -m globallinks_spark compact <out_dir> <segment>
     python -m globallinks_spark store <out_dir> <serving_path> [buckets]
     python -m globallinks_spark query <serving_path> <domain> [limit] [page]
-    python -m globallinks_spark serve <serving_path> [port]
+    python -m globallinks_spark serve <serving_path> [port] [certfile keyfile]
 
 (reference: cmd/importer, cmd/importer compacting mode, cmd/storelinks,
 cmd/linksapi — /root/reference/cmd/*/main.go)
@@ -59,10 +59,15 @@ def main(argv: list[str]) -> int:
         )
         for line in to_json_response(runner.query_links(spark, argv[2], q)):
             print(line)
-    elif cmd == "serve" and len(argv) in (3, 4):
+    elif cmd == "serve" and len(argv) in (3, 4, 6):
         from globallinks_spark.httpapi import serve
 
-        serve(spark, argv[2], int(argv[3]) if len(argv) == 4 else 8010)
+        serve(
+            spark, argv[2],
+            int(argv[3]) if len(argv) > 3 else 8010,
+            certfile=argv[4] if len(argv) == 6 else None,
+            keyfile=argv[5] if len(argv) == 6 else None,
+        )
     else:
         print(__doc__)
         return 2

@@ -215,22 +215,45 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8010,  # linkdb.go:57 non-production default
     limiter: RateLimiter | None = None,
+    certfile: str | None = None,
+    keyfile: str | None = None,
 ) -> http.server.ThreadingHTTPServer:
     """Construct (without starting) the server — tests drive it on an
-    ephemeral port; ``serve`` runs it forever."""
-    return http.server.ThreadingHTTPServer(
+    ephemeral port; ``serve`` runs it forever.
+
+    With ``certfile``/``keyfile`` the listening socket is wrapped in a
+    server-side TLS context — the reference's production mode
+    (linkdb.go:51 ``ListenAndServeTLS(":8443", cert, key)``); without
+    them it stays plain HTTP (linkdb.go:57 non-production mode)."""
+    srv = http.server.ThreadingHTTPServer(
         (host, port), make_handler(query_fn, limiter or RateLimiter())
     )
+    if certfile is not None:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile, keyfile)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    return srv
 
 
-def serve(spark, serving_path: str, port: int = 8010) -> None:
-    """``python -m globallinks_spark serve`` — the linksapi binary."""
+def serve(
+    spark, serving_path: str, port: int = 8010,
+    certfile: str | None = None, keyfile: str | None = None,
+) -> None:
+    """``python -m globallinks_spark serve`` — the linksapi binary.
+    Pass ``--cert``/``--key`` for the reference's TLS production mode
+    (linkdb.go:49-57: production serves :8443 over TLS)."""
     from globallinks_spark.operators.linkdb import to_json_response
     from globallinks_spark.runner import query_links
 
     def query_fn(q: LinkQuery) -> list[str]:
         return to_json_response(query_links(spark, serving_path, q))
 
-    srv = make_server(query_fn, host="0.0.0.0", port=port)
-    print(f"linksapi listening on :{port}")
+    srv = make_server(
+        query_fn, host="0.0.0.0", port=port,
+        certfile=certfile, keyfile=keyfile,
+    )
+    scheme = "https" if certfile else "http"
+    print(f"linksapi listening on :{port} ({scheme})")
     srv.serve_forever()

@@ -458,9 +458,10 @@ FROM base
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = TX.words(F.col("text"))
-    base = d.select("doc_id", "lang", w.alias("w"))
+    base = d.select("doc_id", "lang", "text", w.alias("w"))
     scores = {
-        lang: TX.lang_score(F.col("w"), lang) for lang in TX.LANG_MARKERS
+        lang: TX.lang_score(F.col("w"), lang, text=F.col("text"))
+        for lang in TX.LANG_MARKERS
     }
     out = base.select(
         "doc_id",
@@ -475,14 +476,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_lang_id() -> str:
     score_exprs = {
-        lang: TX.lang_score_sql("w", lang) for lang in TX.LANG_MARKERS
+        lang: TX.lang_score_sql("w", lang, text_expr="text")
+        for lang in TX.LANG_MARKERS
     }
     score_cols = ",\n  ".join(
         f"{score_exprs[lang]} AS s_{lang}" for lang in TX.LANG_MARKERS
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, lang, {TX.words_sql('text')} AS w FROM documents
+  SELECT doc_id, lang, text, {TX.words_sql('text')} AS w FROM documents
 )
 SELECT doc_id,
   {score_cols},

@@ -127,13 +127,25 @@ def run_store(
 ) -> None:
     """All compacted segments → one domain-bucketed serving table
     (storelinks, cmd/storelinks/main.go:74-178; the F16 domain
-    re-validation rides along)."""
+    re-validation rides along). Each load also records provenance — the
+    reference's ``imported`` collection insert (main.go:171-175) — as a
+    ``_manifest`` parquet inside the serving path: (segment, n_rows,
+    loaded_at), overwritten WITH the table so it always describes
+    exactly what is being served."""
     from globallinks_spark.functions.predicates import domain_is_valid
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(out_dir, "compact"))
     df = df.filter(domain_is_valid(F.col("link_domain")))
     SV.write_serving_table(df.drop("segment"), serving_path, buckets)
+    # written after the table commit: a crash between the two leaves the
+    # previous manifest alongside the new table for one rerun window,
+    # never a manifest describing data that failed to land
+    SV.write_manifest(
+        df.groupBy("segment").agg(F.count("*").alias("n_rows"))
+        .withColumn("loaded_at", F.current_timestamp()),
+        serving_path,
+    )
 
 
 def run_fetch(

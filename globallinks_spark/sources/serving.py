@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 256
 _BUCKET_COL = "domain_bucket"
 _META_FILE = "_serving_meta.json"
+_MANIFEST_DIR = "_manifest"
 
 
 def domain_bucket(domain: F.Column, buckets: int = DEFAULT_BUCKETS) -> F.Column:
@@ -72,6 +73,26 @@ def table_buckets(path: str) -> int:
         with open(meta) as f:
             return int(json.load(f)["buckets"])
     return DEFAULT_BUCKETS
+
+
+def write_manifest(manifest: DataFrame, path: str) -> None:
+    """Provenance bookkeeping — the reference records an ``imported``
+    document per load (cmd/storelinks/main.go:171-175, ImportedSegments
+    {archName, segment}); here it is a ``_manifest`` parquet table INSIDE
+    the serving path: (segment, n_rows, loaded_at). The underscore
+    prefix hides it from Spark's data-file discovery, so the serving
+    table reads are unaffected; overwrite semantics keep it in lockstep
+    with the (also overwritten) table — the manifest always lists
+    exactly the segments the table contains."""
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, _MANIFEST_DIR)
+    )
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """(segment, n_rows, loaded_at) for every segment in the serving
+    table — "which data is served" as a queryable frame."""
+    return spark.read.parquet(os.path.join(path, _MANIFEST_DIR))
 
 
 def read_serving_table(

@@ -120,6 +120,50 @@ class TestCompactionProperties:
             ))
         return rows
 
+    def test_zipfian_domain_skew_balanced(self, spark):
+        """SURVEY §7.3's 100-TB risk: Zipfian link_domain (real crawl
+        data — one hot domain can be a double-digit share of all links)
+        must NOT concentrate compaction work on one task. The defense is
+        structural: both aggregation phases hash-partition on the FULL
+        composite key (5-part group key + variant columns), so a hot
+        domain's rows still spread across its many (path, page_host,
+        variant) combinations. This test pins that property via the
+        deterministic proxy for task time — post-shuffle partition row
+        counts: a plan change that repartitioned on link_domain alone
+        would put ~60% of groups in one partition and fail the bound.
+        """
+        rng = random.Random(11)
+        rows = []
+        for j in range(20_000):
+            # ~60% of rows on one hot domain, heavy tail after it
+            u = rng.random()
+            dom = ("hot.com" if u < 0.6
+                   else f"d{int(1.0 / (1.0 - u)) % 500}.com")
+            rows.append(_row(
+                domain=dom,
+                path=f"/p{j % 503}",
+                page_host=f"s{j % 997}.com",
+                page_path=f"/a{j % 13}",
+                nofollow=j % 2,
+                date=D(2023, 1 + j % 11, 1 + j % 27),
+                ip=f"10.0.{j % 7}.{j % 9}",
+            ))
+        out = compact_segment(_df(spark, rows).repartition(16))
+        counts = [
+            r["count"]
+            for r in out.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        ]
+        # hot.com must really dominate the corpus for the test to mean
+        # anything
+        hot = out.filter(F.col("link_domain") == "hot.com").count()
+        assert hot >= 0.5 * sum(counts)
+        mean = sum(counts) / len(counts)
+        assert max(counts) <= 3 * mean, (
+            f"straggler partition: max={max(counts)} mean={mean:.0f} "
+            f"over {len(counts)} partitions"
+        )
+
     def test_order_invariance(self, spark, corpus):
         out1 = {
             tuple(r) for r in compact_segment(_df(spark, corpus)).collect()

@@ -186,6 +186,72 @@ class TestEndToEnd:
             srv.shutdown()
 
 
+class TestTLS:
+    """The reference's production mode serves TLS
+    (linkdb.go:51 ListenAndServeTLS) — the server must accept
+    certfile/keyfile and answer over https."""
+
+    @pytest.fixture(scope="class")
+    def cert_pair(self, tmp_path_factory):
+        import subprocess
+
+        d = tmp_path_factory.mktemp("tls")
+        cert, key = str(d / "cert.pem"), str(d / "key.pem")
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+             "-keyout", key, "-out", cert, "-days", "2", "-nodes",
+             "-subj", "/CN=localhost",
+             "-addext", "subjectAltName=IP:127.0.0.1"],
+            check=True, capture_output=True,
+        )
+        return cert, key
+
+    @pytest.fixture(scope="class")
+    def tls_served(self, cert_pair):
+        cert, key = cert_pair
+        srv = make_server(
+            lambda q: ['{"ok": 1}'], host="127.0.0.1", port=0,
+            limiter=RateLimiter(limit=1000),
+            certfile=cert, keyfile=key,
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"https://127.0.0.1:{srv.server_address[1]}", cert
+        srv.shutdown()
+
+    def test_health_over_https(self, tls_served):
+        import ssl
+
+        base, cert = tls_served
+        ctx = ssl.create_default_context(cafile=cert)
+        with urllib.request.urlopen(
+            base + "/api/health", context=ctx
+        ) as r:
+            assert r.status == 200
+            assert r.read() == b"I am alive!"
+
+    def test_links_over_https(self, tls_served):
+        import ssl
+
+        base, cert = tls_served
+        ctx = ssl.create_default_context(cafile=cert)
+        req = urllib.request.Request(
+            base + "/api/links",
+            data=json.dumps({"domain": "example.com"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, context=ctx) as r:
+            assert r.status == 200
+            assert json.loads(r.read()) == [{"ok": 1}]
+
+    def test_plain_http_to_tls_port_fails(self, tls_served):
+        """A cleartext client against the TLS socket must NOT silently
+        succeed — the reference's production listener is TLS-only."""
+        base, _ = tls_served
+        plain = base.replace("https://", "http://")
+        with pytest.raises(Exception):
+            urllib.request.urlopen(plain + "/api/health", timeout=5)
+
+
 class TestMalformedFilters:
     def test_non_dict_filter_entries_return_400(self, served):
         """A filters list of strings must surface as the reference's 400

@@ -89,6 +89,40 @@ class TestPipeline:
         assert len(merged) == 1
         assert merged[0].qty == 2
 
+    def test_store_manifest_provenance(self, spark, tmp_path_factory):
+        """run_store records (segment, n_rows, loaded_at) like the
+        reference's ``imported`` collection insert (storelinks
+        main.go:171-175); rerunning the store overwrites the manifest to
+        the same contents — and the _manifest dir must stay invisible to
+        the serving-table read."""
+        from globallinks_spark.sources.serving import read_manifest
+
+        base = tmp_path_factory.mktemp("manifest")
+        out, serving = str(base / "out"), str(base / "srv")
+        for seg in ("s1", "s2"):
+            wat = str(base / f"{seg}.warc.wat.gz")
+            write_wat_file(wat)
+            run_import(spark, [wat], out, segment=seg)
+            run_compact(spark, out, segment=seg)
+        run_store(spark, out, serving, buckets=8)
+
+        def snap():
+            return sorted(
+                (r.segment, r.n_rows)
+                for r in read_manifest(spark, serving).collect()
+            )
+
+        first = snap()
+        assert [s for s, _ in first] == ["s1", "s2"]
+        assert all(n > 0 for _, n in first)
+        # manifest row counts reconcile with the served table
+        served_total = spark.read.parquet(serving).count()
+        assert sum(n for _, n in first) == served_total
+        # rerun-safe: same contents after a second store
+        run_store(spark, out, serving, buckets=8)
+        assert snap() == first
+        assert spark.read.parquet(serving).count() == served_total
+
     def test_partition_pruning(self, spark, pipeline_dirs):
         _, serving = pipeline_dirs
         from globallinks_spark.sources.serving import read_serving_table

@@ -111,3 +111,63 @@ class TestRepetitionProfile:
         assert out[0]["top_word_ratio"] == pytest.approx(5 / 6, abs=1e-4)
         assert out[1]["top_word_ratio"] == pytest.approx(1 / 7, abs=1e-4)
         assert out[2]["top_word_ratio"] == 0.0  # empty doc → coalesced 0
+
+
+class TestLangId:
+    """Fidelity pin for the marker heuristic on REAL text in all 10
+    supported languages (the synthetic corpus's lang labels are
+    uncorrelated with its token-soup text, so corpus accuracy measures
+    nothing). One running-text snippet per language must classify
+    correctly — including zh, whose markers count characters because
+    whitespace tokenization cannot split unspaced scripts."""
+
+    SNIPPETS = {
+        "en": "the report was published in the spring and most of the "
+              "results are consistent with what we expected to find",
+        "de": "der bericht wurde im frühjahr veröffentlicht und die "
+              "meisten ergebnisse sind mit den erwartungen vereinbar",
+        "fr": "le rapport a été publié au printemps et la plupart des "
+              "résultats sont conformes à ce que nous attendions",
+        "es": "el informe se publicó en la primavera y la mayoría de "
+              "los resultados son consistentes con lo que esperábamos",
+        "pt": "o relatório foi publicado na primavera e a maioria dos "
+              "resultados é consistente com o que esperávamos encontrar",
+        "it": "il rapporto è stato pubblicato in primavera e la maggior "
+              "parte dei risultati è coerente con quanto ci aspettavamo",
+        "nl": "het rapport werd in het voorjaar gepubliceerd en de "
+              "meeste resultaten zijn in lijn met wat we verwachtten",
+        "pl": "raport został opublikowany wiosną i większość wyników "
+              "jest zgodna z tym czego się spodziewaliśmy",
+        "ru": "отчет был опубликован весной и большинство результатов "
+              "согласуется с тем что мы ожидали увидеть",
+        "zh": "这份报告是在春天发表的其中大部分的结果和我们的预期是一致的",
+    }
+
+    def test_each_language_identified(self, spark):
+        from pyspark.sql import functions as F
+
+        from globallinks_spark.functions import text as TX
+
+        df = spark.createDataFrame(
+            [(lang, snippet) for lang, snippet in self.SNIPPETS.items()],
+            "lang string, text string",
+        )
+        w = TX.words(F.col("text"))
+        base = df.select("lang", "text", w.alias("w"))
+        scores = {
+            lang: TX.lang_score(F.col("w"), lang, text=F.col("text"))
+            for lang in TX.LANG_MARKERS
+        }
+        rows = base.select(
+            "lang", TX.predict_lang(scores).alias("predicted")
+        ).collect()
+        wrong = [(r.lang, r.predicted) for r in rows if r.lang != r.predicted]
+        assert not wrong, f"misidentified: {wrong}"
+
+    def test_char_lang_requires_text(self):
+        from pyspark.sql import functions as F
+
+        from globallinks_spark.functions import text as TX
+
+        with pytest.raises(ValueError, match="raw text"):
+            TX.lang_score(F.lit(None), "zh")
