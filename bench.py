@@ -80,6 +80,11 @@ BENCH_QUERIES = (
     "approx_profile",
     "approx_profile_bound",
     "ann_ivf",
+    "contamination_check",
+    "dup_span_profile",
+    "mix_resample",
+    "quality_classifier",
+    "bigram_lm_score",
 )
 
 

@@ -1,0 +1,374 @@
+"""Corpus-level curation operators for LLM training-data pipelines:
+benchmark-contamination detection, duplicated-span profiling,
+temperature-based mixture resampling, linear quality classification and
+a bigram-LM fluency score.
+
+These extend the reference's link-curation pipeline (extract → dedup →
+compact, see SURVEY.md §2) to the document-curation operations a
+100 TB text pipeline needs. None exist in the reference repo — they are
+brief-extension operators; the designs follow the published recipes:
+
+- contamination: n-gram overlap against an eval/benchmark set, as in
+  GPT-3 appx. C / Lee et al. 2022 ("Deduplicating Training Data ...").
+- duplicated spans: exact repeated n-gram fraction per document
+  (Lee et al. 2022's EXACTSUBSTR, re-expressed as gram-frequency
+  algebra instead of a suffix array — the Spark-native equivalent).
+- mixture resampling: temperature-scaled language rebalancing, the
+  multilingual-mix recipe from XLM-R (Conneau et al. 2020, α-sampling).
+- quality classifier: linear model over surface features — the
+  fastText-classifier shape used by CCNet/GPT-3 quality filtering,
+  with fixed illustrative weights (no learned artifact in-repo).
+- bigram LM: add-one-smoothed conditional bigram negative log
+  likelihood, the CCNet perplexity-bucketing proxy.
+
+Scale notes (100 TB): every operator is linear gram/doc algebra with
+keyed shuffles only — no all-pairs stage anywhere. The contamination
+join broadcasts the BENCHMARK side (eval suites are MBs against a
+multi-TB train corpus); duplicated-span counting is one hash
+aggregation on the gram key; resampling rates derive from a tiny
+per-language count table that rides a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from globallinks_spark.functions import hashing as H
+from globallinks_spark.functions import text as TX
+
+# ---------------------------------------------------------------------------
+# Contamination check
+
+CONTAM_NGRAM = 5
+CONTAM_MIN_OVERLAP = 3
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    *,
+    n: int = CONTAM_NGRAM,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+) -> DataFrame:
+    """(train_id, bench_id, n_overlap, overlap_frac) for every train
+    document sharing ≥ ``min_overlap`` distinct word ``n``-grams with a
+    benchmark document.
+
+    ``docs``/``bench_docs`` need (doc_id, text). The benchmark side is
+    broadcast: eval suites are tiny relative to a training corpus, so
+    the contaminated-pair search is a map-side gram join + one shuffle
+    on the (train, bench) pair key — no corpus-vs-corpus shuffle.
+    ``overlap_frac`` is n_overlap over the TRAIN doc's distinct gram
+    count (the GPT-3 appx-C direction: how much of the candidate
+    training doc is benchmark material).
+    """
+    def grams(d: DataFrame, out: str) -> DataFrame:
+        return d.select(
+            F.col("doc_id").alias(out),
+            F.explode(TX.shingles(TX.words(F.col("text")), n)).alias("gram"),
+        )
+
+    train = grams(docs, "train_id")
+    bench = grams(bench_docs, "bench_id")
+    # shingles() is distinct-per-doc, so plain count == distinct count
+    sizes = train.groupBy("train_id").agg(F.count("*").alias("n_grams"))
+    overlap = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return (
+        overlap.join(sizes, "train_id")
+        .select(
+            "train_id",
+            "bench_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span profile
+
+DUPSPAN_NGRAM = 8
+DUPSPAN_FLAG_FRAC = 0.2
+
+
+def dup_span_profile(
+    docs: DataFrame, *, n: int = DUPSPAN_NGRAM, flag_frac: float = DUPSPAN_FLAG_FRAC
+) -> DataFrame:
+    """Per-document duplicated-text profile: (doc_id, n_grams, n_dup,
+    dup_frac, flagged) where ``n_dup`` counts gram POSITIONS whose word
+    ``n``-gram occurs more than once corpus-wide (within-doc repeats
+    included — a doc repeating itself is duplicated text too).
+
+    Suffix-array EXACTSUBSTR (Lee et al. 2022) re-expressed for Spark:
+    a position sits inside a duplicated span of length ≥ n iff its
+    n-gram is globally non-unique, so per-position gram frequency gives
+    the same flagged-fraction signal with ONE hash shuffle on the gram
+    key (count window) + one on doc_id — no suffix array, no sort of
+    the whole corpus. Docs shorter than ``n`` words have no grams and
+    are excluded (nothing to measure).
+    """
+    g = docs.select(
+        "doc_id",
+        F.explode(TX.shingles_seq(TX.words(F.col("text")), n)).alias("gram"),
+    )
+    freq = F.count("*").over(Window.partitionBy("gram"))
+    per_doc = (
+        g.withColumn("c", freq)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    dup_frac = F.round(F.col("n_dup") / F.col("n_grams"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= flag_frac).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture resampling
+
+RESAMPLE_SALT = "resample:"
+
+
+def mix_resample(docs: DataFrame, *, by: str = "lang") -> DataFrame:
+    """α=0.5 temperature rebalancing of the ``by`` mixture (XLM-R's
+    p_l^α sampling): per group, keep-rate ∝ 1/√p_l, normalised so the
+    rarest group keeps everything. Returns (lang, n_docs, rate_bp,
+    n_kept): the integer basis-point rate and how many docs the
+    deterministic keyed-hash keep decision retains.
+
+    The per-group count table is tiny (|languages|), so the rate rides
+    a broadcast join; the keep decision is the same keyed-hash
+    membership as dataset_split — stable under corpus growth, no RNG.
+    rate_bp = floor(10000·√(n_min/n_l)) keeps the rate integral so the
+    hash comparison is exact across engines.
+    """
+    counts = docs.groupBy(by).agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        by,
+        "n_docs",
+        F.floor(
+            F.lit(10000.0) * F.sqrt(F.col("n_min") / F.col("n_docs"))
+        ).alias("rate_bp"),
+    )
+    key = H.h60(
+        F.concat(F.lit(RESAMPLE_SALT), F.col("doc_id").cast("string"))
+    ) % 10000
+    kept = (
+        docs.join(F.broadcast(rates), by)
+        .filter(key < F.col("rate_bp"))
+        .groupBy(by)
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, by, "left")
+        .select(
+            by,
+            "n_docs",
+            "rate_bp",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def mix_resample_sql(by: str = "lang") -> str:
+    """DuckDB oracle for :func:`mix_resample` (same arithmetic)."""
+    key = H.h60_sql("'" + RESAMPLE_SALT + "' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT {by}, count(*) AS n_docs FROM documents GROUP BY 1
+), rates AS (
+  SELECT {by}, n_docs,
+    CAST(floor(10000.0 * sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+                              / n_docs)) AS BIGINT) AS rate_bp
+  FROM counts
+), kept AS (
+  SELECT d.{by}, count(*) AS n_kept
+  FROM documents d JOIN rates r USING ({by})
+  WHERE ({key} % 10000) < r.rate_bp
+  GROUP BY 1
+)
+SELECT r.{by}, r.n_docs, r.rate_bp,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING ({by})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier
+
+# Illustrative fixed weights over surface features (the CCNet/fastText
+# quality-filter SHAPE; a production deployment loads learned weights
+# into the same expression). Features are z-score-free raw surfaces so
+# the expression stays engine-portable.
+QC_WEIGHTS = {
+    "log_n_words": 0.9,     # longer docs score higher
+    "mean_word_len": 0.4,   # longer words ≈ denser prose
+    "stopword_ratio": 2.5,  # function words ≈ natural language
+    "unique_ratio": 1.2,    # vocabulary diversity
+}
+QC_BIAS = -4.0
+QC_THRESHOLD = 0.5
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, log_n_words, mean_word_len, stopword_ratio,
+    unique_ratio) — the classifier's surface features, all column
+    algebra (no UDF)."""
+    w = TX.words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.log(F.size(w) + F.lit(1.0)).alias("log_n_words"),
+        TX.mean_word_len(w).alias("mean_word_len"),
+        TX.stopword_ratio(w).alias("stopword_ratio"),
+        (F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))).alias(
+            "unique_ratio"
+        ),
+    )
+
+
+def quality_classify(docs: DataFrame) -> DataFrame:
+    """(doc_id, quality_score, keep) — σ(w·x + b) over
+    :func:`quality_features`, rounded to 6 places for engine parity.
+
+    One narrow projection, no shuffle: at 100 TB this is a map-only
+    pass that fuses into whatever scan precedes it.
+    """
+    f = quality_features(docs)
+    z = sum(
+        (F.col(name) * F.lit(wt) for name, wt in QC_WEIGHTS.items()),
+        F.lit(QC_BIAS),
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return f.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= QC_THRESHOLD).alias("keep"),
+    )
+
+
+def quality_classify_sql() -> str:
+    """DuckDB oracle: the identical expression (both engines use IEEE
+    doubles and libm exp; the 6-place round absorbs last-ulp drift)."""
+    ws = TX.words_sql("text")
+    feats = {
+        "log_n_words": f"ln(len({ws}) + 1.0)",
+        "mean_word_len": TX.mean_word_len_sql(ws),
+        "stopword_ratio": TX.stopword_ratio_sql(ws),
+        "unique_ratio": f"(len(list_distinct({ws})) * 1.0 / greatest(len({ws}), 1))",
+    }
+    z = " + ".join(f"({feats[k]}) * {wt}" for k, wt in QC_WEIGHTS.items())
+    score = f"round(1.0 / (1.0 + exp(-(({z}) + {QC_BIAS}))), 6)"
+    return f"""
+SELECT doc_id, {score} AS quality_score,
+       {score} >= {QC_THRESHOLD} AS keep
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model fluency score
+
+LM_NGRAM = 2
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, avg_nll, ppl_bucket) — add-one-smoothed conditional
+    bigram NLL of each doc under the corpus's own bigram model, the
+    CCNet perplexity-bucketing proxy without an external LM artifact:
+
+        nll(d) = mean over positions i of
+                 -ln( (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V) )
+
+    ``ppl_bucket`` is the CCNet head/middle/tail third by ntile over
+    the ROUNDED score (doc_id tie-break → deterministic). The exact
+    global ntile is a single-task sort — fine for the per-doc SCORE
+    table (3 narrow columns, ~10⁻⁴ the corpus bytes), and at 100 TB the
+    drop-in replacement is two `percentile_approx` cutoffs over the
+    same column, which keeps the plan fully parallel.
+
+    Plan: three linear aggregations (unigram counts, bigram counts,
+    vocab size) + keyed joins back to the positional gram stream. The
+    count tables shuffle on their gram keys (no broadcast hint on the
+    unigram side — a 100 TB corpus's vocabulary is not guaranteed
+    map-side-small, and AQE will broadcast it when it is); nothing is
+    collected and nothing is quadratic, so the plan scales with corpus
+    token count. Docs with < 2 words have no bigrams and are excluded.
+    """
+    w = TX.words(F.col("text"))
+    bi = docs.select(
+        "doc_id",
+        F.explode(TX.shingles_seq(w, 2)).alias("bigram"),
+    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+
+    uni = (
+        docs.select(F.explode(w).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bic = bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+
+    nll = -F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    scored = (
+        bi.join(bic, "bigram")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(nll), 6).alias("avg_nll"))
+    )
+    bucket = F.ntile(3).over(Window.orderBy("avg_nll", "doc_id"))
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    return scored.select(
+        "doc_id",
+        "avg_nll",
+        F.element_at(names, bucket).alias("ppl_bucket"),
+    )
+
+
+def bigram_lm_score_sql() -> str:
+    """DuckDB oracle for :func:`bigram_lm_score`."""
+    ws = TX.words_sql("text")
+    bigrams = TX.shingles_seq_sql("w", 2)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {ws} AS w FROM documents
+), bi AS (
+  SELECT doc_id, unnest({bigrams}) AS bigram FROM w
+), bi1 AS (
+  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bi
+), toks AS (
+  SELECT unnest(w) AS w1 FROM w
+), uni AS (
+  SELECT w1, count(*) AS c1 FROM toks GROUP BY 1
+), bic AS (
+  SELECT bigram, count(*) AS c2 FROM bi GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+    round(avg(-ln((c2 + 1.0) / (c1 + (SELECT count(*) FROM uni)))), 6)
+      AS avg_nll
+  FROM bi1 JOIN bic USING (bigram) JOIN uni USING (w1)
+  GROUP BY 1
+)
+SELECT doc_id, avg_nll,
+  (['head','middle','tail'])[ntile(3) OVER (ORDER BY avg_nll, doc_id)]
+    AS ppl_bucket
+FROM scored
+"""

@@ -1520,6 +1520,115 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-curation batch (operators/corpus.py): contamination,
+# duplicated spans, temperature resampling, quality classifier,
+# bigram-LM fluency. All brief-extension operators with full oracles.
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    d = load(spark, sf_dir, "documents")
+    return C.contamination_pairs(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+    )
+
+
+def _sql_contamination_check() -> str:
+    from globallinks_spark.operators import corpus as C
+
+    k = C.CONTAM_NGRAM
+    grams = TX.shingles_sql("w", k)
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, {TX.words_sql('text')} AS w FROM documents
+), g AS (
+  SELECT doc_id, source, unnest({grams}) AS gram FROM w
+), b AS (
+  SELECT doc_id AS bench_id, gram FROM g WHERE source = 'src0'
+), t AS (
+  SELECT doc_id AS train_id, gram FROM g WHERE source <> 'src0'
+), sz AS (
+  SELECT train_id, count(*) AS n_grams FROM t GROUP BY 1
+), ov AS (
+  SELECT train_id, bench_id, count(*) AS n_overlap
+  FROM t JOIN b USING (gram) GROUP BY 1, 2
+)
+SELECT train_id, bench_id, n_overlap,
+       round(n_overlap * 1.0 / n_grams, 6) AS overlap_frac
+FROM ov JOIN sz USING (train_id)
+WHERE n_overlap >= {C.CONTAM_MIN_OVERLAP}
+"""
+
+
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.dup_span_profile(load(spark, sf_dir, "documents"))
+
+
+def _sql_dup_span_profile() -> str:
+    from globallinks_spark.operators import corpus as C
+
+    grams = TX.shingles_seq_sql("w", C.DUPSPAN_NGRAM)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {TX.words_sql('text')} AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM w
+), c AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY gram) AS c FROM g
+), p AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_grams, n_dup,
+       round(n_dup * 1.0 / n_grams, 6) AS dup_frac,
+       round(n_dup * 1.0 / n_grams, 6) >= {C.DUPSPAN_FLAG_FRAC} AS flagged
+FROM p
+"""
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.mix_resample(load(spark, sf_dir, "documents"))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.quality_classify(load(spark, sf_dir, "documents"))
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+def _corpus_specs() -> dict[str, QuerySpec]:
+    from globallinks_spark.operators import corpus as C
+
+    return {
+        "contamination_check": QuerySpec(
+            q_contamination_check, _sql_contamination_check()
+        ),
+        "dup_span_profile": QuerySpec(
+            q_dup_span_profile, _sql_dup_span_profile()
+        ),
+        "mix_resample": QuerySpec(q_mix_resample, C.mix_resample_sql()),
+        "quality_classifier": QuerySpec(
+            q_quality_classifier, C.quality_classify_sql()
+        ),
+        "bigram_lm_score": QuerySpec(
+            q_bigram_lm_score, C.bigram_lm_score_sql()
+        ),
+    }
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_groups": QuerySpec(q_dedup_groups, _sql_dedup_groups()),
@@ -1575,4 +1684,5 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_approx_profile_bound, SQL_APPROX_PROFILE_BOUND
     ),
     "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
+    **_corpus_specs(),
 }
