@@ -80,6 +80,7 @@ BENCH_QUERIES = (
     "approx_profile",
     "approx_profile_bound",
     "ann_ivf",
+    "streaming_dedup",
     "contamination_check",
     "dup_span_profile",
     "mix_resample",

@@ -1525,6 +1525,24 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 # duplicated spans, temperature resampling, quality classifier,
 # bigram-LM fluency. All brief-extension operators with full oracles.
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once counts under simulated at-least-once delivery: the
+    event feed unioned with itself (every event delivered twice), then
+    dropDuplicates(event_id) → per-type counts. The streaming form
+    (dropDuplicatesWithinWatermark, bounded state) runs in
+    tests/test_stateful_streaming.py; this is its batch plan."""
+    from globallinks_spark.streaming.ingest import dedup_event_counts
+
+    ev = load(spark, sf_dir, "events")
+    return dedup_event_counts(ev.unionByName(ev))
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_type, count(DISTINCT event_id) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators import corpus as C
 
@@ -1658,6 +1676,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "streaming_window": QuerySpec(q_streaming_window, SQL_STREAMING_WINDOW),
+    "streaming_dedup": QuerySpec(q_streaming_dedup, SQL_STREAMING_DEDUP),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
     "filter_sum": QuerySpec(q_filter_sum, SQL_FILTER_SUM),
     "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),

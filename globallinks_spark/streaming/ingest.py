@@ -70,3 +70,28 @@ def windowed_event_counts(
             "event_type", "n_events", "total_value",
         )
     )
+
+
+def dedup_event_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once event counting under at-least-once delivery:
+    drop redelivered events by ``event_id``, then count per type.
+
+    On a STREAMING frame this uses ``dropDuplicatesWithinWatermark`` —
+    dedup state for an id is evicted once the watermark passes its
+    event time, so state size is bounded by the redelivery horizon
+    (watermark window × arrival rate), not by total stream length.
+    That bounded-state property is what makes the operator viable on
+    an unbounded 100 TB/day feed; plain ``dropDuplicates`` on a stream
+    retains every key forever. On a batch frame the same plan is a
+    hash-aggregate dedup (one shuffle on event_id) + the count agg.
+    """
+    if events.isStreaming:
+        deduped = events.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(["event_id"])
+    else:
+        deduped = events.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )

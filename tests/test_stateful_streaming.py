@@ -138,3 +138,56 @@ class TestRunningTotalsTws:
                 spark.conf.unset(
                     "spark.sql.streaming.stateStore.providerClass"
                 )
+
+
+class TestDedupEventCounts:
+    """dedup_event_counts: exactly-once counting under redelivery, in
+    both the streaming (dropDuplicatesWithinWatermark) and batch forms."""
+
+    DD_SCHEMA = "event_id bigint, ts timestamp, event_type string"
+
+    def _rows(self):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        return [
+            (1, t0, "click"),
+            (2, t0 + dt.timedelta(minutes=1), "click"),
+            (3, t0 + dt.timedelta(minutes=2), "view"),
+        ]
+
+    def test_streaming_redelivery_dropped(self, spark, tmp_path):
+        from globallinks_spark.streaming.ingest import dedup_event_counts
+
+        def build(stream):
+            out = dedup_event_counts(stream, watermark="2 hours")
+            return (
+                out.writeStream.format("memory").queryName("dd_out")
+                .outputMode("complete").start()
+            )
+
+        # batch 2 redelivers every batch-1 event and adds one new one
+        rows = self._rows()
+        import datetime as dt
+
+        _run_two_batches(
+            spark, tmp_path, build,
+            rows1=rows,
+            rows2=rows + [(4, rows[-1][1] + dt.timedelta(minutes=3), "view")],
+            schema=self.DD_SCHEMA,
+        )
+        got = {
+            r.event_type: r.n_events
+            for r in spark.sql("SELECT * FROM dd_out").collect()
+        }
+        assert got == {"click": 2, "view": 2}
+
+    def test_batch_form_matches_distinct(self, spark):
+        from globallinks_spark.streaming.ingest import dedup_event_counts
+
+        df = spark.createDataFrame(self._rows() * 3, self.DD_SCHEMA)
+        got = {
+            r.event_type: r.n_events
+            for r in dedup_event_counts(df).collect()
+        }
+        assert got == {"click": 2, "view": 1}
