@@ -81,6 +81,8 @@ BENCH_QUERIES = (
     "approx_profile_bound",
     "ann_ivf",
     "streaming_dedup",
+    "range_join",
+    "dedup_incremental",
     "contamination_check",
     "dup_span_profile",
     "mix_resample",

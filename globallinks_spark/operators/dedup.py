@@ -98,22 +98,29 @@ def minhash_signatures(shingled: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs agreeing on at least one LSH band.
-
-    Bands unpivot into (doc_id, band, key); the self-equi-join on
-    (band, key) is the only shuffle and never compares across buckets.
-    """
+def band_frame(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — the signature unpivoted into its LSH band
+    keys; the frame both the self-join and the incremental new-vs-corpus
+    join bucket on. In a production incremental pipeline this frame is
+    what gets PERSISTED as the index table (partitioned by band)."""
     band_cols = []
     for b in range(H.NUM_BANDS):
         key = H.band_key(
             [F.col(f"mh_{b * H.BAND_SIZE + r}") for r in range(H.BAND_SIZE)]
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
 
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs agreeing on at least one LSH band.
+
+    Bands unpivot into (doc_id, band, key); the self-equi-join on
+    (band, key) is the only shuffle and never compares across buckets.
+    """
+    banded = band_frame(signatures)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -188,6 +195,59 @@ def minhash_dedup_pairs(
     jac = exact_jaccard(shingled, cands)
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def minhash_dedup_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs of an incoming BATCH against an existing corpus:
+    (new_id, corpus_id, jaccard ≥ threshold). The incremental form of
+    :func:`minhash_dedup_pairs` — the shape a production pipeline runs
+    per ingest instead of re-deduping the whole corpus.
+
+    The corpus side's band frame (:func:`band_frame`) is exactly what a
+    warehouse deployment persists as the LSH index table, partitioned
+    by band: then this operator reads ONLY the index (narrow: doc_id,
+    band, key) plus the shingle arrays of verification candidates, and
+    per-batch cost is O(|batch| + candidate pairs) — the corpus is
+    never rescanned. Here both sides derive from DataFrames so the
+    whole flow stays testable without a store; the band equi-join is
+    the only corpus-sized shuffle either way.
+
+    Only cross-boundary pairs are emitted: batch-internal duplicates
+    are the caller's ``minhash_dedup_pairs(new_docs)``, and callers
+    pass disjoint frames (shared ids would self-pair).
+    """
+    sh_new = with_shingle_hashes(new_docs, k=k).persist()
+    sh_old = with_shingle_hashes(corpus, k=k).persist()
+    sh_new.count()
+    sh_old.count()  # materialization barriers — see minhash_dedup_pairs
+    sh_new_f = sh_new.filter(F.size("hashes") > 0)
+    sh_old_f = sh_old.filter(F.size("hashes") > 0)
+
+    bn = band_frame(minhash_signatures(sh_new_f)).alias("l")
+    bo = band_frame(minhash_signatures(sh_old_f)).alias("r")
+    cands = (
+        bn.join(
+            bo,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    jac = exact_jaccard(sh_new_f.unionByName(sh_old_f), cands)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("corpus_id"),
+        F.round("jaccard", 4).alias("jaccard"),
     )
 
 

@@ -1525,6 +1525,115 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 # duplicated spans, temperature resampling, quality classifier,
 # bigram-LM fluency. All brief-extension operators with full oracles.
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-lookback self range join: per event, count/value-sum of
+    events in the preceding 10 minutes (operators/rangejoin.py — the
+    bucketized plan; Spark's native plan for this predicate is a
+    BroadcastNestedLoopJoin). Oracle is the naive BETWEEN join, which
+    DuckDB executes as an IEJoin."""
+    from globallinks_spark.operators.rangejoin import prior_event_stats
+
+    return prior_event_stats(load(spark, sf_dir, "events"), 600)
+
+
+SQL_RANGE_JOIN = """
+WITH pairs AS (
+  SELECT l.event_id, r.value
+  FROM events l JOIN events r
+    ON r.ts > l.ts - INTERVAL 600 SECOND AND r.ts < l.ts
+), stats AS (
+  SELECT event_id, count(*) AS n_prior,
+    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      AS prior_value
+  FROM pairs GROUP BY 1
+)
+SELECT e.event_id,
+  coalesce(s.n_prior, 0) AS n_prior,
+  coalesce(s.prior_value, 0.0) AS prior_value
+FROM events e LEFT JOIN stats s USING (event_id)
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus LSH dedup: documents from source 'src19'
+    treated as the incoming batch, the rest as the standing corpus;
+    emits only cross-boundary verified pairs
+    (operators/dedup.minhash_dedup_pairs_incremental)."""
+    from globallinks_spark.operators.dedup import (
+        minhash_dedup_pairs_incremental,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs_incremental(
+        d.filter(F.col("source") == "src19"),
+        d.filter(F.col("source") != "src19"),
+        threshold=0.5,
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    """The full-corpus LSH CTE chain restricted to cross-boundary
+    candidate pairs. Band keys, minhash params and the verify stage are
+    byte-identical to _sql_minhash_ctes; only the cand CTE's join
+    predicate changes (new side × corpus side instead of doc_a<doc_b)."""
+    sig_cols = ",\n    ".join(
+        f"{H.minhash_sql('hashes', j)} AS mh_{j}" for j in range(H.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, is_new, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh_{b * H.BAND_SIZE + r} AS VARCHAR)"
+                for r in range(H.BAND_SIZE)
+            ),
+        )
+        for b in range(H.NUM_BANDS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source = 'src19' AS is_new,
+         {TX.words_sql('text')} AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_new, {TX.shingles_sql('w', 3)} AS sh FROM w
+), hs AS (
+  SELECT doc_id, is_new,
+         list_transform(sh, s -> {H.h30_sql('s')}) AS hashes
+  FROM sh WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, is_new,
+    {sig_cols}
+  FROM hs
+), bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key
+   AND l.is_new AND NOT r.is_new
+), ex AS (
+  SELECT DISTINCT doc_id, unnest(hashes) AS h FROM hs
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a AS new_id, c.doc_b AS corpus_id,
+  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once counts under simulated at-least-once delivery: the
     event feed unioned with itself (every event delivered twice), then
@@ -1677,6 +1786,10 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "streaming_window": QuerySpec(q_streaming_window, SQL_STREAMING_WINDOW),
     "streaming_dedup": QuerySpec(q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN),
+    "dedup_incremental": QuerySpec(
+        q_dedup_incremental, _sql_dedup_incremental()
+    ),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
     "filter_sum": QuerySpec(q_filter_sum, SQL_FILTER_SUM),
     "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),

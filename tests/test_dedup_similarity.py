@@ -579,3 +579,56 @@ class TestKnnJoin:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestIncrementalMinhash:
+    """minhash_dedup_pairs_incremental: cross-boundary pairs only, and
+    its pair set equals the full-corpus operator's pairs restricted to
+    the boundary (same LSH family on both paths)."""
+
+    def _corpus(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, base),
+            (1, base + " tail"),                      # near-dup of 0
+            (2, "completely different text about spark partitions"),
+            (100, base + " extra"),                   # new batch: dup of 0/1
+            (101, "nothing like anything else at all here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_boundary_pairs_found(self, spark):
+        from globallinks_spark.operators.dedup import (
+            minhash_dedup_pairs_incremental,
+        )
+
+        d = self._corpus(spark)
+        new = d.filter("doc_id >= 100")
+        old = d.filter("doc_id < 100")
+        pairs = minhash_dedup_pairs_incremental(new, old, threshold=0.5)
+        got = {(r.new_id, r.corpus_id) for r in pairs.collect()}
+        assert (100, 0) in got and (100, 1) in got
+        # no batch-internal or corpus-internal pairs
+        for a, b in got:
+            assert a >= 100 and b < 100
+
+    def test_matches_full_dedup_restricted_to_boundary(self, spark):
+        from globallinks_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            minhash_dedup_pairs_incremental,
+        )
+
+        d = self._corpus(spark)
+        full = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.jaccard)
+            for r in minhash_dedup_pairs(d, threshold=0.5).collect()
+            # boundary pairs: one side < 100, the other >= 100
+            if (r.doc_a < 100) != (r.doc_b < 100)
+        }
+        inc = {
+            (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id), r.jaccard)
+            for r in minhash_dedup_pairs_incremental(
+                d.filter("doc_id >= 100"), d.filter("doc_id < 100")
+            ).collect()
+        }
+        assert inc == full
