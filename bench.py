@@ -94,6 +94,7 @@ BENCH_QUERIES = (
     "span_dedup_rewrite",
     "inverted_index",
     "gap_fill",
+    "purchase_attribution",
 )
 
 

@@ -7,6 +7,7 @@
     python -m globallinks_spark store <out_dir> <serving_path> [buckets]
     python -m globallinks_spark query <serving_path> <domain> [limit] [page]
     python -m globallinks_spark serve <serving_path> [port] [certfile keyfile]
+    python -m globallinks_spark sql <data_dir> <query> [limit]
 
 (reference: cmd/importer, cmd/importer compacting mode, cmd/storelinks,
 cmd/linksapi — /root/reference/cmd/*/main.go)
@@ -58,6 +59,15 @@ def main(argv: list[str]) -> int:
             page=int(argv[5]) if len(argv) > 5 else 1,
         )
         for line in to_json_response(runner.query_links(spark, argv[2], q)):
+            print(line)
+    elif cmd == "sql" and len(argv) in (4, 5):
+        from globallinks_spark.queries import register_views
+
+        register_views(spark, argv[2])
+        limit = int(argv[4]) if len(argv) == 5 else 1000
+        for line in (
+            spark.sql(argv[3]).limit(limit).toJSON().collect()
+        ):
             print(line)
     elif cmd == "serve" and len(argv) in (3, 4, 6):
         from globallinks_spark.httpapi import serve

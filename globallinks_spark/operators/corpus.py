@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from globallinks_spark.functions import hashing as H
 from globallinks_spark.functions import text as TX
+from globallinks_spark.operators.dedup import _spread
 
 # ---------------------------------------------------------------------------
 # Contamination check
@@ -64,9 +65,19 @@ def contamination_pairs(
     training doc is benchmark material).
     """
     def grams(d: DataFrame, out: str) -> DataFrame:
-        return d.select(
+        # words staged through a named column: inlining words(text) into
+        # the n element_at calls of every gram re-tokenizes the doc per
+        # element (CollapseProject keeps the stage because w has many
+        # non-cheap references — the with_shingle_hashes shape;
+        # measured 100× on the sf0.1 bench for the inlined form)
+        # _spread: a small local parquet arrives single-partition and
+        # would serialize the gram scan onto one task (no-op at scale)
+        return _spread(d).select(
             F.col("doc_id").alias(out),
-            F.explode(TX.shingles(TX.words(F.col("text")), n)).alias("gram"),
+            TX.words(F.col("text")).alias("w"),
+        ).select(
+            out,
+            F.explode(TX.shingles(F.col("w"), n)).alias("gram"),
         )
 
     train = grams(docs, "train_id")
@@ -115,9 +126,13 @@ def dup_span_profile(
     the whole corpus. Docs shorter than ``n`` words have no grams and
     are excluded (nothing to measure).
     """
-    g = docs.select(
+    # words staged through a named column + _spread parallelism
+    # (see contamination_pairs.grams)
+    g = _spread(docs).select(
+        "doc_id", TX.words(F.col("text")).alias("w")
+    ).select(
         "doc_id",
-        F.explode(TX.shingles_seq(TX.words(F.col("text")), n)).alias("gram"),
+        F.explode(TX.shingles_seq(F.col("w"), n)).alias("gram"),
     )
     freq = F.count("*").over(Window.partitionBy("gram"))
     per_doc = (
@@ -310,14 +325,16 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     collected and nothing is quadratic, so the plan scales with corpus
     token count. Docs with < 2 words have no bigrams and are excluded.
     """
-    w = TX.words(F.col("text"))
-    bi = docs.select(
+    # words staged through a named column + _spread parallelism
+    # (see contamination_pairs.grams)
+    words = _spread(docs).select("doc_id", TX.words(F.col("text")).alias("w"))
+    bi = words.select(
         "doc_id",
-        F.explode(TX.shingles_seq(w, 2)).alias("bigram"),
+        F.explode(TX.shingles_seq(F.col("w"), 2)).alias("bigram"),
     ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
 
     uni = (
-        docs.select(F.explode(w).alias("w1"))
+        words.select(F.explode(F.col("w")).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
     )

@@ -53,6 +53,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every data table under ``sf_dir`` as a temp view (named
+    by file stem) so ``spark.sql`` users get the full catalog — the
+    interactive surface a reference user lands on after switching.
+    Known tables go through :func:`load` (events ts normalization);
+    unknown parquet files in the directory register as-is. Returns the
+    registered view names."""
+    import glob as _glob
+    import os as _os
+
+    names: list[str] = []
+    for path in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
+        name = _os.path.splitext(_os.path.basename(path))[0]
+        if not name.isidentifier() or name.startswith("_"):
+            continue  # _manifest sidecars etc. are not query surface
+        df = load(spark, sf_dir, name) if name in TABLES \
+            else spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def _dec(col, scale: int = 4):
     return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) \
         else col.cast(f"decimal(18,{scale})")

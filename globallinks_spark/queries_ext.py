@@ -1630,18 +1630,19 @@ FROM events e LEFT JOIN stats s USING (event_id)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-batch-vs-corpus LSH dedup: documents from source 'src19'
-    treated as the incoming batch, the rest as the standing corpus;
-    emits only cross-boundary verified pairs
-    (operators/dedup.minhash_dedup_pairs_incremental)."""
+    """New-batch-vs-corpus LSH dedup: odd-doc_id documents treated as
+    the incoming batch, even as the standing corpus (the parity split
+    straddles real near-dup pairs at every sf — a single-source split
+    left the query trivially empty); emits only cross-boundary verified
+    pairs (operators/dedup.minhash_dedup_pairs_incremental)."""
     from globallinks_spark.operators.dedup import (
         minhash_dedup_pairs_incremental,
     )
 
     d = load(spark, sf_dir, "documents")
     return minhash_dedup_pairs_incremental(
-        d.filter(F.col("source") == "src19"),
-        d.filter(F.col("source") != "src19"),
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
         threshold=0.5,
     )
 
@@ -1666,7 +1667,7 @@ def _sql_dedup_incremental() -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, source = 'src19' AS is_new,
+  SELECT doc_id, doc_id % 2 = 1 AS is_new,
          {TX.words_sql('text')} AS w
   FROM documents
 ), sh AS (
@@ -1823,6 +1824,18 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.inverted_index(load(spark, sf_dir, "documents"))
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.streaming.join import purchase_attribution
+
+    return purchase_attribution(load(spark, sf_dir, "events"))
+
+
+def _sql_purchase_attribution() -> str:
+    from globallinks_spark.streaming.join import purchase_attribution_sql
+
+    return purchase_attribution_sql()
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.timeseries import gap_fill_hourly
 
@@ -1925,5 +1938,8 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "domain_cap": QuerySpec(q_domain_cap, _sql_domain_cap()),
     "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),
     "gap_fill": QuerySpec(q_gap_fill, _sql_gap_fill()),
+    "purchase_attribution": QuerySpec(
+        q_purchase_attribution, _sql_purchase_attribution()
+    ),
     **_corpus_specs(),
 }

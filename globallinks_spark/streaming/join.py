@@ -1,0 +1,123 @@
+"""Stream-stream interval join — the attribution shape ("which clicks
+preceded this purchase?") that every event pipeline needs.
+
+Spark's stream-stream join requires watermarks on both sides plus a
+time-range join condition; each side's buffered state is then bounded
+by the watermark horizon instead of stream length (rows are dropped
+once they can no longer match). The SAME DataFrame expression runs in
+batch mode — ``purchase_click_pairs`` takes a streaming or batch frame
+and only adds the watermarks when the input streams, so the batch form
+is the oracle-checkable replay of the streaming plan (the
+windowed_event_counts / dedup_event_counts pattern,
+streaming/ingest.py).
+
+``purchase_attribution`` adds the per-purchase rollup. In streaming
+append mode an aggregation keyed by a non-window column can never emit
+finals, so the rollup is the batch/sink-side stage; the streaming
+surface is the pair stream (tests/test_stateful_streaming.py runs it
+under Trigger.AvailableNow and pins parity with the batch plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_WINDOW_SEC = 600
+WATERMARK = "30 minutes"
+
+
+def purchase_click_pairs(
+    events: DataFrame,
+    window_sec: int = ATTRIBUTION_WINDOW_SEC,
+) -> DataFrame:
+    """(purchase_id, user_id, p_ts, c_ts, c_value) for every click the
+    purchasing user made in the ``window_sec`` seconds before the
+    purchase — an INNER interval join (the streaming-safe core; outer
+    semantics are restored by ``purchase_attribution``'s left join
+    against the purchase set).
+
+    Scale: both sides shuffle on user_id only; streaming state per user
+    is bounded by event rate × (watermark + window). No cross-user
+    comparison exists anywhere.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("p_ts", WATERMARK)
+        clicks = clicks.withWatermark("c_ts", WATERMARK)
+    cond = (
+        (purchases["user_id"] == clicks["c_user"])
+        & (clicks["c_ts"] >= purchases["p_ts"] - F.expr(
+            f"interval {window_sec} seconds"))
+        & (clicks["c_ts"] < purchases["p_ts"])
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "user_id", "p_ts", "c_ts", "c_value"
+    )
+
+
+def purchase_attribution(
+    events: DataFrame,
+    window_sec: int = ATTRIBUTION_WINDOW_SEC,
+) -> DataFrame:
+    """Per purchase: count and summed value of the user's clicks in the
+    preceding ``window_sec`` seconds — (purchase_id, user_id, n_clicks,
+    click_value). Purchases with no prior click are kept with zeros.
+
+    Batch composition over :func:`purchase_click_pairs` (see module doc
+    for why the rollup is not part of the streaming surface). The
+    DECIMAL(18,2) cast before the sum keeps the aggregate
+    order-insensitive across engines.
+    """
+    pairs = purchase_click_pairs(events, window_sec)
+    rollup = pairs.groupBy("purchase_id").agg(
+        F.count("*").cast("bigint").alias("n_clicks"),
+        F.sum(F.col("c_value").cast("decimal(18,2)")).alias("cv"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id"
+    )
+    return purchases.join(rollup, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0).cast("bigint")).alias("n_clicks"),
+        F.round(
+            F.coalesce(
+                F.col("cv"), F.lit(0).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("click_value"),
+    )
+
+
+def purchase_attribution_sql(
+    window_sec: int = ATTRIBUTION_WINDOW_SEC, table: str = "events"
+) -> str:
+    return f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM {table} WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+  FROM {table} WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id,
+  CAST(count(c.c_ts) AS BIGINT) AS n_clicks,
+  round(CAST(coalesce(sum(CAST(c.c_value AS DECIMAL(18,2))),
+                      CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS click_value
+FROM purchases p LEFT JOIN clicks c
+  ON c.c_user = p.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL {window_sec} SECOND
+ AND c.c_ts < p.p_ts
+GROUP BY p.purchase_id, p.user_id
+"""

@@ -222,3 +222,42 @@ class TestPipeline:
         assert len(files) > 1
         got = read_serving_table(spark, path, domain="hot.example.com")
         assert got.count() == 4000
+
+
+class TestSqlCli:
+    def test_sql_subcommand_registers_views_and_prints_json(self, capsys):
+        import json
+
+        from globallinks_spark.__main__ import main
+
+        rc = main([
+            "globallinks_spark", "sql", "/root/testdata/sf0.001",
+            "SELECT r_name, count(*) AS n FROM region "
+            "GROUP BY r_name ORDER BY r_name",
+        ])
+        assert rc == 0
+        lines = [
+            json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()
+        ]
+        assert len(lines) == 5
+        assert all(l["n"] == 1 for l in lines)
+
+    def test_sql_limit_arg(self, capsys):
+        from globallinks_spark.__main__ import main
+
+        rc = main([
+            "globallinks_spark", "sql", "/root/testdata/sf0.001",
+            "SELECT doc_id FROM documents ORDER BY doc_id", "7",
+        ])
+        assert rc == 0
+        assert len(capsys.readouterr().out.strip().splitlines()) == 7
+
+    def test_register_views_skips_sidecars(self, spark, tmp_path):
+        from globallinks_spark.queries import register_views
+
+        spark.range(3).write.parquet(str(tmp_path / "good.parquet"))
+        spark.range(2).write.parquet(str(tmp_path / "_manifest.parquet"))
+        names = register_views(spark, str(tmp_path))
+        assert names == ["good"]
+        assert spark.sql("SELECT count(*) AS n FROM good").first().n == 3

@@ -191,3 +191,68 @@ class TestDedupEventCounts:
             for r in dedup_event_counts(df).collect()
         }
         assert got == {"click": 2, "view": 1}
+
+
+class TestStreamStreamJoin:
+    """purchase_click_pairs as a REAL stream-stream interval join:
+    one file-source stream split into purchase/click sides inside the
+    operator, run to completion, pinned against the batch plan."""
+
+    SCHEMA = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+
+    def _rows(self):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        s = dt.timedelta(seconds=1)
+        return [
+            # user 1: two clicks inside the 600 s window, one outside
+            (1, t0 - 700 * s, 1, "click", 5.0),
+            (2, t0 - 300 * s, 1, "click", 7.0),
+            (3, t0 - 10 * s, 1, "click", 9.0),
+            (4, t0, 1, "purchase", 100.0),
+            # user 2: a click AFTER the purchase must not match
+            (5, t0 + 60 * s, 2, "click", 1.0),
+            (6, t0, 2, "purchase", 50.0),
+            # noise types are ignored
+            (7, t0 - 5 * s, 1, "view", 2.0),
+        ]
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        from globallinks_spark.streaming.join import purchase_click_pairs
+
+        src = str(tmp_path / "events_src")
+        batch_df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        batch_df.coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(self.SCHEMA).parquet(src)
+        out = purchase_click_pairs(stream)
+        q = (
+            out.writeStream.format("memory").queryName("ssj_out")
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r.purchase_id, r.c_value)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+        want = {
+            (r.purchase_id, r.c_value)
+            for r in purchase_click_pairs(batch_df).collect()
+        }
+        assert got == want
+        assert got == {(4, 7.0), (4, 9.0)}   # in-window clicks only
+
+    def test_attribution_rollup_keeps_clickless_purchases(self, spark):
+        from globallinks_spark.streaming.join import purchase_attribution
+
+        batch_df = spark.createDataFrame(self._rows(), self.SCHEMA)
+        rows = {r.purchase_id: r for r in
+                purchase_attribution(batch_df).collect()}
+        assert rows[4].n_clicks == 2 and rows[4].click_value == 16.0
+        assert rows[6].n_clicks == 0 and rows[6].click_value == 0.0
