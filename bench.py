@@ -95,6 +95,9 @@ BENCH_QUERIES = (
     "inverted_index",
     "gap_fill",
     "purchase_attribution",
+    "bm25_search",
+    "triangle_count",
+    "session_window_agg",
 )
 
 

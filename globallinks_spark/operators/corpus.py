@@ -564,3 +564,109 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
     AS postings
 FROM t GROUP BY term HAVING count(*) >= {min_df}
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Robertson/Sparck-Jones; the Lucene idf variant
+    ln(1 + (N − df + 0.5)/(df + 0.5)), which keeps idf positive for
+    df > N/2): (doc_id, score). Ties break on doc_id ascending; scores
+    round to 6 so both engines rank identical values identically.
+
+    Plan: one token scan filtered to the query terms (the term list is
+    a literal — tiny by construction, so the filter is a map-side
+    ``isin``), a per-(doc, term) count, a per-term df aggregate joined
+    back by broadcast, and corpus scalars (N, avgdl) via a broadcast
+    1-row crossJoin. No shuffle touches non-matching tokens; the global
+    top-k is a TakeOrdered, not a sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    words = _spread(docs).select(
+        "doc_id", TX.words(F.col("text")).alias("w")
+    )
+    lens = words.select("doc_id", F.size("w").alias("dl"))
+    scalars = lens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tok = words.select(
+        "doc_id", F.explode("w").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    ws = TX.words_sql("text")
+    terms = ", ".join("'" + t.lower() + "'" for t in query_terms)
+    return f"""
+WITH words AS (
+  SELECT doc_id, {ws} AS w FROM documents
+), lens AS (
+  SELECT doc_id, len(w) AS dl FROM words
+), scalars AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
+), tok AS (
+  SELECT doc_id, unnest(w) AS term FROM words
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+  round(sum(
+    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+    * (tf.tf * ({k1} + 1))
+    / (tf.tf + {k1} * (1 - {b} + {b} * lens.dl / s.avgdl))
+  ), 6) AS score
+FROM tf JOIN df USING (term) JOIN lens ON lens.doc_id = tf.doc_id,
+     scalars s
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}
+"""

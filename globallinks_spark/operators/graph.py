@@ -72,3 +72,49 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED simple graph:
+    (node, n_triangles). Classic canonical-orientation join (every
+    triangle counted exactly once as a < b < c): normalize each edge to
+    (min, max), distinct, then e(a,b) ⋈ e(b,c) ⋈ e(a,c).
+
+    Scale shape: two equi-joins on node keys — the standard distributed
+    triangle enumeration. The first join's fan-out is Σ deg(b)² over
+    "middle" nodes; production graphs bound it by orienting edges from
+    lower- to higher-DEGREE endpoints instead of lower id (same
+    algebra, one extra degree join) — id-orientation keeps the oracle
+    trivially replayable here and the shape identical. Self-loops drop
+    in normalization; multi-edges collapse via distinct.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    tri = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            und.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
+    )
+    return nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

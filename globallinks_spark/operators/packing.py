@@ -18,10 +18,13 @@ bins for efficient sequence batching):
 Scale notes (100 TB):
 - domain_cap is a per-domain top-N: one shuffle on the domain key.
   Ranking uses a window, so a pathological mega-domain concentrates in
-  one task; the ``prefilter_factor`` knob bounds that by pre-dropping
-  rows whose hash can't possibly rank ≤ cap once per-domain counts are
-  known (a broadcast threshold join — the same two-phase shape as
-  skew.salted_distinct).
+  one task. The standard two-phase escape hatch (count per domain,
+  broadcast a per-domain hash threshold ≈ cap/n_docs of the hash range,
+  pre-filter before ranking — the skew.salted_distinct shape) bounds
+  the window's input to ~cap-proportional rows per domain and is the
+  fix for a truly pathological domain; it is not wired in here because
+  the output side is already cap-bounded and the extra count pass
+  costs more than it saves below that regime.
 - pack_sequences never builds a GLOBAL prefix sum (a single-partition
   sort at 100 TB). Packing runs independently inside ``n_shards``
   hash shards — the window partitions by shard, so the cumsum

@@ -1498,6 +1498,140 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q: session_window_agg — Spark's NATIVE gap-based session windows
+# (F.session_window), complementing queries.q_sessionize's manual
+# lag/cumsum build. Semantics differ at the boundary: session_window
+# extends [ts, ts+gap) per event (an event exactly gap later starts a
+# NEW session), so the oracle flags new sessions on gap >= 1800 over
+# EXACT fractional epochs — unlike sessionize's floor-epoch "> 1800".
+# session_end is last_event + gap (the native window's close time).
+
+_SESSION_GAP_SEC = 1800
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_SEC} seconds").alias("sw"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_AGG = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) >= {_SESSION_GAP_SEC}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL {_SESSION_GAP_SEC} SECOND AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: bm25_search — ranked retrieval over the corpus (Robertson BM25,
+# Lucene idf variant; operators/corpus.bm25_topk).
+
+_BM25_QUERY = ["scan", "merge", "stream"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.bm25_topk(load(spark, sf_dir, "documents"), _BM25_QUERY, k=10)
+
+
+def _sql_bm25_search() -> str:
+    from globallinks_spark.operators import corpus as C
+
+    return C.bm25_topk_sql(_BM25_QUERY, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Q: triangle_count — per-node triangle participation on a deterministic
+# synthetic graph (operators/graph.triangle_count). Each customer key k
+# plants the triangle (k, 3k+1, 7k+2) mod 101, so the canonical
+# a<b<c enumeration has real work at every sf.
+
+_TRI_MOD = 101
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.graph import triangle_count
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a = (k % _TRI_MOD).alias("src")
+    b = ((k * 3 + 1) % _TRI_MOD).alias("dst")
+    cc = ((k * 7 + 2) % _TRI_MOD)
+    edges = (
+        c.select(a, b)
+        .unionAll(c.select((k % _TRI_MOD).alias("src"), cc.alias("dst")))
+        .unionAll(
+            c.select(((k * 3 + 1) % _TRI_MOD).alias("src"), cc.alias("dst"))
+        )
+    )
+    return triangle_count(edges)
+
+
+def _sql_triangle_count() -> str:
+    m = _TRI_MOD
+    return f"""
+WITH raw AS (
+  SELECT c_custkey % {m} AS src, (c_custkey * 3 + 1) % {m} AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey % {m}, (c_custkey * 7 + 2) % {m} FROM customer
+  UNION ALL
+  SELECT (c_custkey * 3 + 1) % {m}, (c_custkey * 7 + 2) % {m}
+  FROM customer
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: domain_cap — at most N docs per source, keyed-hash selection
 # (operators/packing.domain_cap): the C4/RefinedWeb per-domain limit.
 
@@ -1940,6 +2074,11 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "gap_fill": QuerySpec(q_gap_fill, _sql_gap_fill()),
     "purchase_attribution": QuerySpec(
         q_purchase_attribution, _sql_purchase_attribution()
+    ),
+    "bm25_search": QuerySpec(q_bm25_search, _sql_bm25_search()),
+    "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
+    "session_window_agg": QuerySpec(
+        q_session_window_agg, SQL_SESSION_WINDOW_AGG
     ),
     **_corpus_specs(),
 }

@@ -142,3 +142,36 @@ class TestUrlKernelStaysJvmSide:
         plan = plan_string(extract.extract_links(pages))
         # the one pandas UDF appears; no row-at-a-time BatchEvalPython
         assert "BatchEvalPython" not in plan
+
+
+class TestWordsStagedOnce:
+    """Round-3 regression: corpus gram operators must stage words(text)
+    through a named column. Inlining it into each gram's element_at
+    calls duplicates the split(lower(text)) tree per element — measured
+    ~20× on the sf0.1 bench (contamination/dup-span/bigram at 19-28 s
+    each). The pin: each plan contains exactly as many split(lower
+    copies as it has document-scan branches, never per-gram copies."""
+
+    # branch counts = how many times the plan legitimately re-reads the
+    # corpus (Spark shares no lineage between DataFrame references
+    # without persist — each is ONE linear tokenization pass). The
+    # inlined-regression signature is ~8 copies PER branch (one per
+    # gram element_at), e.g. dup_span_profile at 8 rather than 1.
+    @pytest.mark.parametrize(
+        "name,branches",
+        [
+            ("dup_span_profile", 1),
+            ("bigram_lm_score", 6),     # bi ×(score, bic-count, w1-join), uni…
+            ("contamination_check", 3),  # train overlap + train sizes + bench
+            ("span_dedup_rewrite", 2),   # gram stream + token-array join
+            ("bm25_search", 8),          # tok/lens/scalars fan-out, tf reused
+        ],
+    )
+    def test_split_copies_bounded_by_scan_branches(
+        self, spark_noaqe, name, branches
+    ):
+        plan = plan_string(REGISTRY[name].fn(spark_noaqe, SF))
+        assert plan.count("split(lower(") <= branches, (
+            f"{name}: words(text) inlined into gram lambdas — "
+            f"{plan.count('split(lower(')} copies for {branches} branches"
+        )

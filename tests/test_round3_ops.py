@@ -242,3 +242,67 @@ class TestGapFill:
         per_user = {r[0]: r[1] for r in
                     out.groupBy("user_id").count().collect()}
         assert per_user == {1: 6, 2: 1}  # user grids never cross-join
+
+
+class TestTriangleCount:
+    def test_planted_triangle_and_chain(self, spark):
+        from globallinks_spark.operators.graph import triangle_count
+
+        # triangle 1-2-3 plus a chain 3-4-5 (no triangle), a self-loop
+        # and a duplicate/reversed edge that must collapse
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 5), (2, 1)],
+            "src long, dst long",
+        )
+        out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_two_triangles_sharing_edge(self, spark):
+        from globallinks_spark.operators.graph import triangle_count
+
+        # triangles (1,2,3) and (2,3,4) share edge 2-3
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)],
+            "src long, dst long",
+        )
+        out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+        assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+class TestBm25:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark shuffle join"),            # both query terms
+                (2, "spark spark spark filler text"), # high tf one term
+                (3, "unrelated words entirely here"),
+                (4, "shuffle"),                       # short doc boost
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_ranking_prefers_matching_docs(self, spark):
+        from globallinks_spark.operators.corpus import bm25_topk
+
+        out = bm25_topk(self._docs(spark), ["spark", "shuffle"], k=4)
+        rows = out.collect()
+        ids = [r.doc_id for r in rows]
+        assert 3 not in ids                  # no query term, no row
+        assert ids[0] == 1                   # both terms beat one term
+        assert all(r.score > 0 for r in rows)
+
+    def test_term_case_normalized(self, spark):
+        from globallinks_spark.operators.corpus import bm25_topk
+
+        out = bm25_topk(self._docs(spark), ["SPARK"], k=4).collect()
+        assert {r.doc_id for r in out} == {1, 2}
+
+    def test_k_limits_and_ties_break_on_id(self, spark):
+        from globallinks_spark.operators.corpus import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, "same text here") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = bm25_topk(docs, ["same"], k=3).collect()
+        assert [r.doc_id for r in out] == [0, 1, 2]   # equal scores → id

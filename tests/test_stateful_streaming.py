@@ -256,3 +256,60 @@ class TestStreamStreamJoin:
                 purchase_attribution(batch_df).collect()}
         assert rows[4].n_clicks == 2 and rows[4].click_value == 16.0
         assert rows[6].n_clicks == 0 and rows[6].click_value == 0.0
+
+
+class TestStreamingSessionWindow:
+    """F.session_window on a watermarked stream — the native streaming
+    sessionization — emits the same closed sessions the batch plan
+    computes."""
+
+    SCHEMA = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+
+    def test_streaming_sessions_match_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            (1, t0, 1, "click", 1.0),
+            (2, t0 + 10 * m, 1, "click", 2.0),     # same session (gap 10m)
+            (3, t0 + 60 * m, 1, "click", 4.0),     # new session (gap 50m)
+            (4, t0, 2, "view", 8.0),
+        ]
+        src = str(tmp_path / "sess_src")
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.parquet(src)
+
+        def sessions(df):
+            sw = F.session_window("ts", "30 minutes")
+            src_df = df
+            if df.isStreaming:
+                src_df = df.withWatermark("ts", "0 seconds")
+            return (
+                src_df.groupBy("user_id", sw.alias("sw"))
+                .agg(F.count("*").alias("n"),
+                     F.sum("value").alias("v"))
+                .select("user_id", F.col("sw.start").alias("start"), "n", "v")
+            )
+
+        stream = spark.readStream.schema(self.SCHEMA).parquet(src)
+        q = (
+            sessions(stream).writeStream.format("memory")
+            .queryName("sess_out").outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.user_id, r.start, r.n, r.v)
+               for r in spark.sql("SELECT * FROM sess_out").collect()}
+        batch = {(r.user_id, r.start, r.n, r.v)
+                 for r in sessions(
+                     spark.createDataFrame(rows, self.SCHEMA)).collect()}
+        # append mode only emits sessions the watermark has CLOSED: the
+        # max event time seen is t0+60m, so user 1's last session (start
+        # t0+60m) is still open — everything emitted must match batch,
+        # and the closed sessions must all be there
+        assert got <= batch
+        assert ((1, t0, 2, 3.0)) in got
+        assert ((2, t0, 1, 8.0)) in got
