@@ -98,6 +98,7 @@ BENCH_QUERIES = (
     "bm25_search",
     "triangle_count",
     "session_window_agg",
+    "training_assembly",
 )
 
 

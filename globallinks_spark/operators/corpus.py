@@ -469,14 +469,17 @@ def span_dedup_rewrite(
     )
 
 
-def span_dedup_rewrite_sql(n: int = SPAN_DEDUP_NGRAM) -> str:
+def span_dedup_rewrite_sql(
+    n: int = SPAN_DEDUP_NGRAM, table: str = "documents"
+) -> str:
     """DuckDB oracle for :func:`span_dedup_rewrite` — same first-
-    occurrence rule via a window over unnested (gram, doc_id, pos)."""
+    occurrence rule via a window over unnested (gram, doc_id, pos).
+    ``table`` lets composed oracles run the chain over a CTE."""
     ws = TX.words_sql("text")
     grams = TX.shingles_seq_sql("w", n)
     return f"""
 WITH w AS (
-  SELECT doc_id, {ws} AS w FROM documents
+  SELECT doc_id, {ws} AS w FROM {table}
 ), g AS (
   SELECT doc_id, u.pos, u.gram FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),

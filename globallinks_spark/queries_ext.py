@@ -10,7 +10,7 @@ approximation of the operator, it IS the operator in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from globallinks_spark.functions import hashing as H
@@ -1498,6 +1498,112 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q: training_assembly — the round-3 operators composed end-to-end into
+# one hash-checked plan (the curation_pipeline pattern): per-domain cap
+# → cross-doc duplicate-span removal over the CAPPED corpus (order is
+# load-bearing: first-occurrence winners differ if the cap runs second)
+# → min-surviving-tokens gate → deterministic split → token-budget
+# packing of the SURVIVING token counts per (split, shard).
+
+_ASM_CAP = 15
+_ASM_MIN_TOKENS = 10
+_ASM_BUDGET = 256
+_ASM_SHARDS = 4
+
+
+def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.corpus import span_dedup_rewrite
+    from globallinks_spark.operators.packing import domain_cap
+
+    d = load(spark, sf_dir, "documents")
+    capped = domain_cap(d, cap=_ASM_CAP)
+    spanned = span_dedup_rewrite(capped, n=8)
+    joined = (
+        spanned.join(capped.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("n_tokens") - F.col("n_removed")).alias("kept_tokens"),
+        )
+        .filter(F.col("kept_tokens") >= _ASM_MIN_TOKENS)
+    )
+    slot = H.h60(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(slot < 90, "train").when(slot < 95, "val").otherwise("test")
+    )
+    shard = H.h60(
+        F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+    ) % _ASM_SHARDS
+    order = H.h60(
+        F.concat(F.lit("packorder:"), F.col("doc_id").cast("string"))
+    )
+    staged = joined.select(
+        "doc_id", "source", "kept_tokens",
+        split.alias("split"), shard.alias("shard"), order.alias("__ord"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy(F.col("__ord").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("kept_tokens").over(w)
+    local_bin = F.floor((cum - F.col("kept_tokens")) / F.lit(_ASM_BUDGET))
+    return staged.select(
+        "doc_id",
+        "source",
+        "split",
+        "kept_tokens",
+        F.concat_ws(
+            ":", "split", F.col("shard").cast("string"),
+            local_bin.cast("string"),
+        ).alias("bin_id"),
+    )
+
+
+def _sql_training_assembly() -> str:
+    from globallinks_spark.operators.corpus import span_dedup_rewrite_sql
+    from globallinks_spark.operators.packing import domain_cap_sql
+
+    slot = H.h60_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    shard = (
+        H.h60_sql("'pack:' || CAST(doc_id AS VARCHAR)")
+        + f" % {_ASM_SHARDS}"
+    )
+    order = H.h60_sql("'packorder:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH capped AS (
+  SELECT * FROM ({domain_cap_sql(cap=_ASM_CAP)})
+), spanned AS (
+  SELECT * FROM ({span_dedup_rewrite_sql(table='capped')})
+), joined AS (
+  SELECT s.doc_id, c.source, s.n_tokens - s.n_removed AS kept_tokens
+  FROM spanned s JOIN capped c USING (doc_id)
+  WHERE s.n_tokens - s.n_removed >= {_ASM_MIN_TOKENS}
+), staged AS (
+  SELECT doc_id, source, kept_tokens,
+    CASE WHEN ({slot}) < 90 THEN 'train'
+         WHEN ({slot}) < 95 THEN 'val' ELSE 'test' END AS split,
+    ({shard}) AS shard,
+    {order} AS ord
+  FROM joined
+), packed AS (
+  SELECT doc_id, source, split, kept_tokens, shard,
+    sum(kept_tokens) OVER (
+      PARTITION BY split, shard ORDER BY ord ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM staged
+)
+SELECT doc_id, source, split, kept_tokens,
+  split || ':' || CAST(shard AS VARCHAR) || ':' ||
+    CAST(CAST(floor((cum - kept_tokens) / {_ASM_BUDGET}) AS BIGINT)
+         AS VARCHAR) AS bin_id
+FROM packed
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: session_window_agg — Spark's NATIVE gap-based session windows
 # (F.session_window), complementing queries.q_sessionize's manual
 # lag/cumsum build. Semantics differ at the boundary: session_window
@@ -2079,6 +2185,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
     "session_window_agg": QuerySpec(
         q_session_window_agg, SQL_SESSION_WINDOW_AGG
+    ),
+    "training_assembly": QuerySpec(
+        q_training_assembly, _sql_training_assembly()
     ),
     **_corpus_specs(),
 }

@@ -1,0 +1,98 @@
+"""Training-shard sink — the terminal step of the curation pipeline:
+write a curated corpus as (split, shard)-partitioned parquet plus a
+shard manifest, so a trainer's data loader can address shards directly
+and audit token counts without scanning data.
+
+Mirrors the serving-table design (sources/serving.py): deterministic
+keyed-hash shards (stable under corpus growth and re-partitioning — a
+doc never migrates between shards when the corpus is rebuilt), layout
+parameters in a sidecar, provenance as a `_shard_manifest` parquet (the
+runner.run_store pattern, reference cmd/storelinks/main.go:171-175).
+
+Scale: the pre-shuffle on (split, shard) bounds writers per directory;
+shard counts size directories (n_shards=4096 at 100 TB → ~25 GB per
+shard, internally row-group-splittable). The manifest is one
+aggregation over the same frame — no second scan of written files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from globallinks_spark.functions import hashing as H
+from globallinks_spark.functions import text as TX
+
+_META_FILE = "_shards_meta.json"
+_MANIFEST_DIR = "_shard_manifest"
+DEFAULT_SHARDS = 16
+SHARD_SALT = "shard:"
+
+
+def shard_of(doc_id: F.Column, n_shards: int = DEFAULT_SHARDS) -> F.Column:
+    return (
+        H.h60(F.concat(F.lit(SHARD_SALT), doc_id.cast("string")))
+        % F.lit(n_shards)
+    ).cast("int")
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    n_shards: int = DEFAULT_SHARDS,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write ``docs`` (must carry ``split_col``) partitioned by
+    (split, shard). Overwrite-mode → rerun-safe: a rebuild replaces the
+    dataset atomically per partition tree, and shard membership is a
+    pure function of ``id_col`` so reruns produce identical layouts.
+
+    The `_shard_manifest` parquet records (split, shard, n_docs,
+    n_tokens) from the same frame, and the layout sidecar records the
+    shard count + salt so readers re-derive shard ids exactly.
+    """
+    staged = docs.withColumn("shard", shard_of(F.col(id_col), n_shards))
+    (
+        staged.repartition(F.col(split_col), F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy(split_col, "shard")
+        .parquet(path)
+    )
+    manifest = staged.groupBy(split_col, "shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(TX.bpe_token_count(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, _MANIFEST_DIR)
+    )
+    with open(os.path.join(path, _META_FILE), "w") as fh:
+        json.dump(
+            {"n_shards": n_shards, "salt": SHARD_SALT,
+             "split_col": split_col},
+            fh,
+        )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, split: str | None = None
+) -> DataFrame:
+    """Read the shard dataset; ``split`` prunes to one partition
+    subtree (a partition filter, not a scan-then-filter)."""
+    df = spark.read.parquet(path)
+    if split is not None:
+        with open(os.path.join(path, _META_FILE)) as fh:
+            split_col = json.load(fh)["split_col"]
+        df = df.filter(F.col(split_col) == split)
+    return df
+
+
+def read_shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, _MANIFEST_DIR))
