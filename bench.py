@@ -99,6 +99,8 @@ BENCH_QUERIES = (
     "triangle_count",
     "session_window_agg",
     "training_assembly",
+    "frame_sample",
+    "approx_quantiles_bound",
 )
 
 

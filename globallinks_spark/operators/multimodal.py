@@ -78,3 +78,102 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media_type", "payload").mapInPandas(
         op, schema=MEDIA_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video → frame rows) and resize plumbing
+
+FRAME_BYTES = 256
+FRAME_MS = 40  # 25 fps
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, ts_ms int, n_bytes int, "
+    "frame_payload binary, checksum_prefix string"
+)
+
+
+def fake_frames(payload: bytes) -> list[bytes]:
+    """Deterministic stand-in for a video demuxer: the payload sliced
+    into fixed ``FRAME_BYTES`` chunks (last chunk ragged). A real
+    implementation swaps this one function for av/ffmpeg frame
+    iteration — the fan-out plan shape is identical."""
+    return [
+        payload[i:i + FRAME_BYTES]
+        for i in range(0, len(payload), FRAME_BYTES)
+    ]
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """Sample every ``every_n``-th frame (≤ ``max_frames``) from each
+    binary payload: ONE input row fans out to k frame rows — the
+    mapInPandas generator shape for demux-style operators (explode-like
+    fan-out without materializing all frames first).
+
+    Output carries the frame payload (downstream embeds/augments it)
+    plus (frame_idx, ts_ms, n_bytes, md5-prefix). Partition-preserving:
+    no shuffle — frames stay on their video's executor.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "ts_ms", "n_bytes",
+                "frame_payload", "checksum_prefix",
+            )}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = fake_frames(payload)[::every_n][:max_frames]
+                for j, fr in enumerate(frames):
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(j * every_n)
+                    out["ts_ms"].append(j * every_n * FRAME_MS)
+                    out["n_bytes"].append(len(fr))
+                    out["frame_payload"].append(fr)
+                    out["checksum_prefix"].append(
+                        hashlib.md5(fr).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        op, schema=FRAME_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, "
+    "scale double"
+)
+
+
+def resize_meta(
+    df: DataFrame, target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Resize plumbing: source dimensions derive deterministically from
+    the payload (a real decoder reads them from the header — one
+    function body swap), target is aspect-preserving fit into
+    (target_w, target_h). One row per row, no shuffle; the scale factor
+    is what an augmentation stage consumes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            src_w = (n % 640 + 16).astype("int32")
+            src_h = (n % 480 + 16).astype("int32")
+            scale = pd.concat(
+                [target_w / src_w, target_h / src_h], axis=1
+            ).min(axis=1).clip(upper=1.0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "src_w": src_w,
+                "src_h": src_h,
+                "dst_w": (src_w * scale).astype("int32"),
+                "dst_h": (src_h * scale).astype("int32"),
+                "scale": scale.round(6),
+            })
+
+    return df.select("doc_id", "payload").mapInPandas(
+        op, schema=RESIZE_SCHEMA
+    )

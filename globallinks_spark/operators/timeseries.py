@@ -32,16 +32,22 @@ def gap_fill_hourly(
     """(user_id, hour, n_events, hour_value, filled_value, gap) on each
     user's contiguous hourly grid from their first to last event hour.
 
-    ``hour_value`` is the hour's summed value (NULL in gaps, rounded
-    to 6 before the carry so both engines propagate identical text),
+    ``hour_value`` is the hour's summed value (NULL in gaps; DECIMAL
+    sum rounded to 2 before the carry so both engines propagate
+    identical values),
     ``filled_value`` carries the last non-null hour forward (LOCF;
     never NULL — the grid starts at an observed hour), ``gap`` flags
     synthesized rows.
     """
     hr = F.date_trunc("hour", F.col(ts_col))
+    # DECIMAL-cast before the sum (repo convention, queries.py module
+    # doc): a double Σ is shuffle-order-dependent in the last ulp, a
+    # decimal Σ is exact and order-free on both engines
     per_hr = events.groupBy(F.col(user_col), hr.alias("hour")).agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.round(F.sum(value_col), 6).alias("hour_value"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
+        ).alias("hour_value"),
     )
     bounds = events.groupBy(user_col).agg(
         F.date_trunc("hour", F.min(ts_col)).alias("h0"),
@@ -79,7 +85,8 @@ def gap_fill_hourly_sql(
 WITH per_hr AS (
   SELECT {user_col}, date_trunc('hour', {ts_col}) AS hour,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(sum({value_col}), 6) AS hour_value
+         round(CAST(sum(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS hour_value
   FROM {table} GROUP BY 1, 2
 ), bounds AS (
   SELECT {user_col},

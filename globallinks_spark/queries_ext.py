@@ -546,6 +546,45 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Q: frame_sample — video-demux fan-out plumbing (multimodal.py): one
+# payload row → ≤8 frame rows via a mapInPandas generator. The oracle
+# replays the deterministic fake demuxer (256-byte chunks) with substr
+# + md5 — char-slicing equals byte-slicing because the synthetic corpus
+# is ASCII (the operator itself is byte-correct for any payload).
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.multimodal import (
+        frame_sample,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return frame_sample(d, every_n=2, max_frames=8).select(
+        "doc_id", "frame_idx", "ts_ms", "n_bytes", "checksum_prefix"
+    )
+
+
+def _sql_frame_sample() -> str:
+    from globallinks_spark.operators.multimodal import FRAME_BYTES, FRAME_MS
+
+    b, ms = FRAME_BYTES, FRAME_MS
+    return f"""
+WITH c AS (
+  SELECT doc_id, text, unnest(range(0, 16, 2)) AS ci FROM documents
+), fr AS (
+  SELECT doc_id, CAST(ci AS INT) AS frame_idx,
+         substr(text, CAST(ci * {b} + 1 AS INT), {b}) AS fr
+  FROM c WHERE ci * {b} < len(text)
+)
+SELECT doc_id, frame_idx,
+  CAST(frame_idx * {ms} AS INT) AS ts_ms,
+  CAST(len(fr) AS INT) AS n_bytes,
+  substr(md5(fr), 1, 8) AS checksum_prefix
+FROM fr
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: streaming_window — tumbling-window counts (batch plan of the
 # streaming aggregation; the streaming path itself is tested in tests/).
 
@@ -1014,6 +1053,51 @@ def q_approx_profile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("ao") - F.col("exact_orders"))
          <= F.col("exact_orders") * 0.1).alias("orders_within_bound"),
     )
+
+
+def q_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx_percentile with its RANK-error contract
+    checked in-query (the approx_profile_bound pattern): with accuracy
+    a, the sketch's p-quantile sits within ±1/a of rank p·n, so its
+    VALUE lies between the exact (p − ε)- and (p + ε)-quantiles with
+    ε = 2/a. The output carries exact quantiles plus the per-percentile
+    boolean; the engine-specific sketch values stay out."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = 1000
+    eps = 2.0 / acc
+    exprs = []
+    for p, tag in ((0.5, "p50"), (0.95, "p95")):
+        exprs += [
+            F.expr(
+                f"approx_percentile(l_extendedprice, {p}, {acc})"
+            ).alias(f"a_{tag}"),
+            F.expr(
+                f"percentile(l_extendedprice, {max(p - eps, 0.0)})"
+            ).alias(f"lo_{tag}"),
+            F.expr(
+                f"percentile(l_extendedprice, {min(p + eps, 1.0)})"
+            ).alias(f"hi_{tag}"),
+            F.expr(f"percentile(l_extendedprice, {p})").alias(f"x_{tag}"),
+        ]
+    agg = li.agg(*exprs)
+    return agg.select(
+        F.round("x_p50", 2).alias("exact_p50"),
+        F.round("x_p95", 2).alias("exact_p95"),
+        ((F.col("a_p50") >= F.col("lo_p50"))
+         & (F.col("a_p50") <= F.col("hi_p50"))).alias("p50_within_bound"),
+        ((F.col("a_p95") >= F.col("lo_p95"))
+         & (F.col("a_p95") <= F.col("hi_p95"))).alias("p95_within_bound"),
+    )
+
+
+SQL_APPROX_QUANTILES_BOUND = """
+SELECT
+  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+  round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
+  TRUE AS p50_within_bound,
+  TRUE AS p95_within_bound
+FROM lineitem
+"""
 
 
 SQL_APPROX_PROFILE_BOUND = """
@@ -2142,6 +2226,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+    "frame_sample": QuerySpec(q_frame_sample, _sql_frame_sample()),
     "streaming_window": QuerySpec(q_streaming_window, SQL_STREAMING_WINDOW),
     "streaming_dedup": QuerySpec(q_streaming_dedup, SQL_STREAMING_DEDUP),
     "range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN),
@@ -2172,6 +2257,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "approx_profile": QuerySpec(q_approx_profile, None),
     "approx_profile_bound": QuerySpec(
         q_approx_profile_bound, SQL_APPROX_PROFILE_BOUND
+    ),
+    "approx_quantiles_bound": QuerySpec(
+        q_approx_quantiles_bound, SQL_APPROX_QUANTILES_BOUND
     ),
     "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),

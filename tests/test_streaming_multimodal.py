@@ -109,3 +109,73 @@ class TestMultimodal:
             spark.createDataFrame([(1, "x")], "doc_id long, text string")
         )
         assert dict(df.dtypes)["payload"] == "binary"
+
+
+class TestFrameSample:
+    def _payload_df(self, spark, texts):
+        from globallinks_spark.operators.multimodal import with_binary_payload
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return with_binary_payload(docs)
+
+    def test_fanout_respects_stride_and_cap(self, spark):
+        from globallinks_spark.operators.multimodal import (
+            FRAME_BYTES, frame_sample,
+        )
+
+        # 10 chunks → stride 2 samples chunks 0,2,4,6,8 (5 frames);
+        # a 40-chunk doc caps at max_frames
+        texts = ["x" * (FRAME_BYTES * 10), "y" * (FRAME_BYTES * 40), ""]
+        out = frame_sample(
+            self._payload_df(spark, texts), every_n=2, max_frames=8
+        ).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        assert [r.frame_idx for r in sorted(
+            per_doc[0], key=lambda r: r.frame_idx)] == [0, 2, 4, 6, 8]
+        assert len(per_doc[1]) == 8
+        assert 2 not in per_doc            # empty payload → no frames
+        assert all(r.n_bytes == 256 for r in per_doc[0])
+        assert all(r.ts_ms == r.frame_idx * 40 for r in out)
+
+    def test_frame_payload_roundtrip(self, spark):
+        from globallinks_spark.operators.multimodal import frame_sample
+
+        out = frame_sample(
+            self._payload_df(spark, ["abcd" * 100]), every_n=1
+        ).collect()
+        joined = b"".join(
+            r.frame_payload
+            for r in sorted(out, key=lambda r: r.frame_idx)
+        )
+        assert joined == b"abcd" * 100      # lossless demux (stride 1)
+
+    def test_no_shuffle_in_plan(self, spark):
+        from globallinks_spark.operators.multimodal import frame_sample
+
+        df = frame_sample(self._payload_df(spark, ["z" * 600]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan       # partition-preserving fan-out
+
+
+class TestResizeMeta:
+    def test_aspect_preserving_fit(self, spark):
+        from globallinks_spark.operators.multimodal import (
+            resize_meta, with_binary_payload,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a" * 200), (2, "b" * 30)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in resize_meta(
+            with_binary_payload(docs), 64, 64).collect()}
+        for r in out.values():
+            assert r.dst_w <= 64 and r.dst_h <= 64
+            assert 0 < r.scale <= 1.0
+            # aspect ratio preserved to integer truncation
+            assert abs(r.dst_w - r.src_w * r.scale) < 1
+            assert abs(r.dst_h - r.src_h * r.scale) < 1
