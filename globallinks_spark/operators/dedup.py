@@ -627,3 +627,88 @@ def dedup_groups(
         F.col("component").alias("keeper_id"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index — the standing-corpus store the per-ingest dedup
+# reads instead of rescanning the corpus
+
+_LSH_META = "_lsh_meta.json"
+
+
+def save_lsh_index(docs: DataFrame, path: str, k: int = 3) -> None:
+    """Persist the corpus's LSH index: the band table (doc_id, band,
+    key; partitioned by band) and the shingle-hash table (doc_id,
+    hashes) that verification reads. Parameters (k, hash kernel, band
+    geometry) go in a sidecar and are validated at load — an index
+    probed with a different kernel would silently return garbage.
+
+    Per-ingest cost after this: O(|batch| + candidates). The corpus
+    text is never rescanned; only candidate doc_ids' hash arrays are
+    read back (semi-join pushdown into the shingle table's scan).
+    """
+    import json
+    import os
+
+    sh = with_shingle_hashes(docs, k=k).filter(F.size("hashes") > 0)
+    bands = band_frame(minhash_signatures(sh))
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    with open(os.path.join(path, _LSH_META), "w") as fh:
+        json.dump(
+            {"k": k, "kernel": H._kernel, "num_hashes": H.NUM_HASHES,
+             "band_size": H.BAND_SIZE}, fh,
+        )
+
+
+def dedup_against_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs_incremental` against a PERSISTED
+    index (:func:`save_lsh_index`): (new_id, corpus_id, jaccard).
+    The batch's bands equi-join the stored band table — the only
+    corpus-sized shuffle; verification unions the stored hash arrays of
+    candidate corpus docs with the batch's own.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, _LSH_META)) as fh:
+        meta = json.load(fh)
+    if meta["kernel"] != H._kernel or meta["num_hashes"] != H.NUM_HASHES \
+            or meta["band_size"] != H.BAND_SIZE:
+        raise ValueError(
+            f"LSH index at {path} was built with "
+            f"kernel={meta['kernel']}/H{meta['num_hashes']}/"
+            f"B{meta['band_size']}; session uses {H._kernel}/"
+            f"{H.NUM_HASHES}/{H.BAND_SIZE} — rebuild or switch kernels"
+        )
+    sh_new = with_shingle_hashes(new_docs, k=meta["k"]).persist()
+    sh_new.count()  # materialization barrier — see minhash_dedup_pairs
+    sh_new_f = sh_new.filter(F.size("hashes") > 0)
+    bn = band_frame(minhash_signatures(sh_new_f)).alias("l")
+    bo = spark.read.parquet(os.path.join(path, "bands")).alias("r")
+    cands = (
+        bn.join(
+            bo,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_old = spark.read.parquet(os.path.join(path, "shingles"))
+    jac = exact_jaccard(sh_new_f.unionByName(sh_old), cands)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("corpus_id"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )

@@ -632,3 +632,52 @@ class TestIncrementalMinhash:
             ).collect()
         }
         assert inc == full
+
+
+class TestPersistedLshIndex:
+    """save_lsh_index / dedup_against_index: the stored-index path must
+    equal the in-memory incremental operator, reject kernel mismatches,
+    and push the candidate filter into the shingle-table scan."""
+
+    def test_matches_in_memory_incremental(self, spark, tmp_path):
+        from globallinks_spark.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "lsh_idx")
+        D.save_lsh_index(corpus, idx)
+        got = {
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in D.dedup_against_index(
+                spark, batch, idx, threshold=0.5).collect()
+        }
+        want = {
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in D.minhash_dedup_pairs_incremental(
+                batch, corpus, threshold=0.5).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_kernel_mismatch_rejected(self, spark, tmp_path):
+        from globallinks_spark.functions import hashing as H
+        from globallinks_spark.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        idx = str(tmp_path / "idx2")
+        D.save_lsh_index(docs.limit(50), idx)
+        with H.kernel("xxhash64"):
+            with pytest.raises(ValueError, match="kernel"):
+                D.dedup_against_index(spark, docs.limit(10), idx)
+
+    def test_rerun_overwrites_cleanly(self, spark, tmp_path):
+        from globallinks_spark.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        idx = str(tmp_path / "idx3")
+        D.save_lsh_index(docs.limit(100), idx)
+        D.save_lsh_index(docs.limit(100), idx)   # rerun-safe
+        bands = spark.read.parquet(str(tmp_path / "idx3" / "bands"))
+        from globallinks_spark.functions import hashing as H
+        assert bands.select("doc_id").distinct().count() <= 100
+        assert bands.count() <= 100 * H.NUM_BANDS
