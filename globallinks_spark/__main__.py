@@ -8,6 +8,7 @@
     python -m globallinks_spark query <serving_path> <domain> [limit] [page]
     python -m globallinks_spark serve <serving_path> [port] [certfile keyfile]
     python -m globallinks_spark sql <data_dir> <query> [limit]
+    python -m globallinks_spark curate <data_dir> <out_dir> [n_shards]
 
 (reference: cmd/importer, cmd/importer compacting mode, cmd/storelinks,
 cmd/linksapi — /root/reference/cmd/*/main.go)
@@ -67,6 +68,25 @@ def main(argv: list[str]) -> int:
         limit = int(argv[4]) if len(argv) == 5 else 1000
         for line in (
             spark.sql(argv[3]).limit(limit).toJSON().collect()
+        ):
+            print(line)
+    elif cmd == "curate" and len(argv) in (4, 5):
+        from globallinks_spark.queries import load
+        from globallinks_spark.queries_ext import q_curation_pipeline
+        from globallinks_spark.sources.corpus_sink import (
+            read_shard_manifest,
+            write_training_shards,
+        )
+
+        kept = q_curation_pipeline(spark, argv[2]).select("doc_id", "split")
+        docs = load(spark, argv[2], "documents").join(kept, "doc_id")
+        write_training_shards(
+            docs, argv[3],
+            n_shards=int(argv[4]) if len(argv) == 5 else 16,
+        )
+        for line in (
+            read_shard_manifest(spark, argv[3])
+            .orderBy("split", "shard").toJSON().collect()
         ):
             print(line)
     elif cmd == "serve" and len(argv) in (3, 4, 6):

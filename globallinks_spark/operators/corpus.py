@@ -82,13 +82,28 @@ def contamination_pairs(
 
     train = grams(docs, "train_id")
     bench = grams(bench_docs, "bench_id")
-    # shingles() is distinct-per-doc, so plain count == distinct count
-    sizes = train.groupBy("train_id").agg(F.count("*").alias("n_grams"))
+    # persist + count barrier: overlap's OUTPUT is pair-sized (tiny)
+    # but its lineage is the full corpus scan; both consumers below
+    # (hot, the final join) must read the cache, not re-scan
     overlap = (
         train.join(F.broadcast(bench), "gram")
         .groupBy("train_id", "bench_id")
         .agg(F.count("*").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
+        .persist()
+    )
+    overlap.count()
+    # the denominator (per-doc distinct gram count) is only needed for
+    # docs that actually overlap — a tiny set. Semi-joining the corpus
+    # down BEFORE re-deriving grams turns the second full corpus scan
+    # (round-2 shape) into a scan of the contaminated docs only; at
+    # 100 TB that is the difference between 2 corpus passes and 1.
+    # shingles() is distinct-per-doc, so plain count == distinct count.
+    hot = overlap.select(F.col("train_id").alias("doc_id")).distinct()
+    sizes = (
+        grams(docs.join(F.broadcast(hot), "doc_id", "leftsemi"), "train_id")
+        .groupBy("train_id")
+        .agg(F.count("*").alias("n_grams"))
     )
     return (
         overlap.join(sizes, "train_id")
@@ -597,6 +612,8 @@ def bm25_topk(
     1-row crossJoin. No shuffle touches non-matching tokens; the global
     top-k is a TakeOrdered, not a sort.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     words = _spread(docs).select(
         "doc_id", TX.words(F.col("text")).alias("w")

@@ -116,6 +116,11 @@ def frame_sample(
     no shuffle — frames stay on their video's executor.
     """
 
+    if every_n <= 0 or max_frames <= 0:
+        raise ValueError(
+            f"every_n/max_frames must be positive, got {every_n}/{max_frames}"
+        )
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 

@@ -56,6 +56,8 @@ def domain_cap(
     Returns the input rows that survive, plus ``cap_rank`` (1-based
     rank within the domain) so callers can audit which slots were used.
     """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
     key = H.h60(
         F.concat(F.lit("cap:"), F.col(id_col).cast("string"))
     )
@@ -111,6 +113,10 @@ def pack_sequences(
     (functions/text.bpe_token_count); documents longer than ``budget``
     occupy one or more bins alone.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if not 0 < n_shards <= _SHARD_STRIDE:
+        raise ValueError(f"n_shards out of range: {n_shards}")
     n_tok = TX.bpe_token_count(F.col(text_col)).cast("bigint")
     shard = H.h60(
         F.concat(F.lit("pack:"), F.col(id_col).cast("string"))

@@ -306,3 +306,31 @@ class TestBm25:
         )
         out = bm25_topk(docs, ["same"], k=3).collect()
         assert [r.doc_id for r in out] == [0, 1, 2]   # equal scores → id
+
+
+class TestArgumentGuards:
+    def test_domain_cap_rejects_nonpositive(self, spark):
+        docs = spark.createDataFrame([(1, "t", "s")],
+                                     "doc_id long, text string, source string")
+        with pytest.raises(ValueError, match="cap"):
+            domain_cap(docs, cap=0)
+
+    def test_pack_rejects_bad_budget_and_shards(self, spark):
+        docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="budget"):
+            pack_sequences(docs, budget=0)
+        with pytest.raises(ValueError, match="n_shards"):
+            pack_sequences(docs, n_shards=0)
+
+    def test_bm25_rejects_empty_query(self, spark):
+        docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="query_terms"):
+            C.bm25_topk(docs, [])
+
+    def test_frame_sample_rejects_bad_stride(self, spark):
+        from globallinks_spark.operators.multimodal import frame_sample
+
+        docs = spark.createDataFrame([(1, b"x")],
+                                     "doc_id long, payload binary")
+        with pytest.raises(ValueError, match="every_n"):
+            frame_sample(docs, every_n=0)

@@ -261,3 +261,30 @@ class TestSqlCli:
         names = register_views(spark, str(tmp_path))
         assert names == ["good"]
         assert spark.sql("SELECT count(*) AS n FROM good").first().n == 3
+
+
+class TestCurateCli:
+    def test_curate_writes_shards_and_prints_manifest(
+        self, spark, tmp_path, capsys
+    ):
+        import json
+
+        from globallinks_spark.__main__ import main
+        from globallinks_spark.sources.corpus_sink import read_training_shards
+
+        out = str(tmp_path / "curated")
+        rc = main([
+            "globallinks_spark", "curate", "/root/testdata/sf0.001",
+            out, "2",
+        ])
+        assert rc == 0
+        lines = [
+            json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()
+        ]
+        assert lines and all(
+            {"split", "shard", "n_docs", "n_tokens"} <= set(l) for l in lines
+        )
+        data = read_training_shards(spark, out)
+        assert data.count() == sum(l["n_docs"] for l in lines)
+        assert set(data.columns) >= {"doc_id", "text", "split", "shard"}
