@@ -101,6 +101,9 @@ BENCH_QUERIES = (
     "training_assembly",
     "frame_sample",
     "approx_quantiles_bound",
+    "clustering_coeff",
+    "dedup_eval",
+    "event_anomaly",
 )
 
 

@@ -90,6 +90,10 @@ def triangle_count(
     trivially replayable here and the shape identical. Self-loops drop
     in normalization; multi-edges collapse via distinct.
     """
+    # persist + count barrier: the oriented edge frame feeds all three
+    # join legs — without the materialization the normalize+distinct
+    # shuffle runs three times (and unbarriered persists race on first
+    # use, the lesson from dedup.minhash_dedup_pairs)
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -97,7 +101,9 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
+    und.count()
     tri = (
         und.alias("e1")
         .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
@@ -117,4 +123,53 @@ def triangle_count(
     )
     return nodes.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: (node, degree, n_triangles, coeff) with
+    coeff = 2·T / (d·(d−1)), 0 for degree < 2 — the standard local
+    transitivity measure (Watts & Strogatz 1998).
+
+    Composes :func:`triangle_count`'s enumeration with a degree
+    aggregation over the same normalized edge frame; both are keyed
+    shuffles, and nodes outside any triangle still appear (left join,
+    zero-filled).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    und.count()  # barrier — see triangle_count
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    tri = triangle_count(und, "a", "b")
+    d = F.col("degree")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("bigint"))
+            .alias("n_triangles"),
+            F.when(
+                d >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0)) / (d * (d - 1)),
+                    6,
+                ),
+            ).otherwise(0.0).alias("coeff"),
+        )
     )

@@ -36,3 +36,28 @@ class TestPagerank:
         once = _ranks(spark, [(0, 1), (1, 0)], iterations=4)
         dup = _ranks(spark, [(0, 1), (0, 1), (1, 0)], iterations=4)
         assert once == dup
+
+
+class TestClusteringCoefficient:
+    def test_triangle_plus_pendant(self, spark):
+        from globallinks_spark.operators.graph import clustering_coefficient
+
+        # triangle 1-2-3; node 4 pendant off 3; node 3 has degree 3,
+        # one triangle among its 3 possible neighbor pairs → 1/3
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        out = {r.node: r for r in clustering_coefficient(edges).collect()}
+        assert out[1].coeff == 1.0 and out[2].coeff == 1.0
+        assert out[3].degree == 3 and abs(out[3].coeff - 0.333333) < 1e-6
+        assert out[4].degree == 1 and out[4].coeff == 0.0
+
+    def test_triangle_free_graph_all_zero(self, spark):
+        from globallinks_spark.operators.graph import clustering_coefficient
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        out = clustering_coefficient(edges).collect()
+        assert len(out) == 4
+        assert all(r.coeff == 0.0 and r.n_triangles == 0 for r in out)

@@ -334,3 +334,33 @@ class TestArgumentGuards:
                                      "doc_id long, payload binary")
         with pytest.raises(ValueError, match="every_n"):
             frame_sample(docs, every_n=0)
+
+
+class TestEventAnomaly:
+    def test_spike_flagged_warmup_rows_null(self, spark):
+        import datetime as dt
+
+        from globallinks_spark.queries import REGISTRY
+
+        q_event_anomaly = REGISTRY["event_anomaly"].fn
+
+        # build a parquet events dir so the query's load() path works
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), 1, "click", 10.0 + (i % 3))
+            for i in range(30)
+        ]
+        rows.append((99, t0 + dt.timedelta(minutes=99), 1, "click", 500.0))
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r.event_id: r for r in q_event_anomaly(spark, d).collect()}
+        assert out[0].z is None          # no lookback yet
+        assert out[99].anomaly and out[99].z > 2.5   # the planted spike
+        normal = [r for i, r in out.items() if 2 < i < 30]
+        assert all(not r.anomaly for r in normal)
