@@ -175,3 +175,36 @@ class TestWordsStagedOnce:
             f"{name}: words(text) inlined into gram lambdas — "
             f"{plan.count('split(lower(')} copies for {branches} branches"
         )
+
+
+class TestRound3PlanShapes:
+    """Shuffle budgets for the round-3 operators — the numbers
+    SCALING.md claims. A regression that adds an Exchange (a lost
+    broadcast, an unstaged expression forcing a resort) fails here
+    before it costs anything at scale."""
+
+    @pytest.mark.parametrize(
+        "name,max_shuffles",
+        [
+            ("domain_cap", 1),         # the per-domain window, nothing else
+            ("pack_sequences", 1),     # the per-shard window
+            ("inverted_index", 1),     # the term aggregation
+            ("session_window_agg", 1), # the session-window aggregation
+            ("gap_fill", 3),           # per-hour agg + bounds agg + join
+            ("event_anomaly", 1),      # the per-user window
+        ],
+    )
+    def test_shuffle_budget(self, spark_noaqe, name, max_shuffles):
+        df = REGISTRY[name].fn(spark_noaqe, SF)
+        n = count_shuffles(df)
+        assert n <= max_shuffles, (
+            f"{name}: {n} Exchanges (budget {max_shuffles})"
+        )
+
+    def test_bm25_broadcasts_df_and_scalars(self, spark_noaqe):
+        df = REGISTRY["bm25_search"].fn(spark_noaqe, SF)
+        assert count_broadcast_joins(df) >= 2   # df table + corpus scalars
+
+    def test_frame_sample_has_no_shuffle(self, spark_noaqe):
+        df = REGISTRY["frame_sample"].fn(spark_noaqe, SF)
+        assert count_shuffles(df) == 0
