@@ -104,6 +104,7 @@ BENCH_QUERIES = (
     "clustering_coeff",
     "dedup_eval",
     "event_anomaly",
+    "embedding_dedup_groups",
 )
 
 

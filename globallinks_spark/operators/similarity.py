@@ -464,3 +464,35 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def embedding_dedup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str = "label",
+) -> DataFrame:
+    """Embedding near-duplicate GROUPS with keeper selection — the
+    embedding-space counterpart of dedup.dedup_groups (pairs alone
+    leave the keep/delete decision undone): connected components over
+    the blocked cosine-pair graph, keeper = smallest id per component.
+    Output (vec_id, keeper_id, keep); vectors without a near-duplicate
+    don't appear (trivially keepers).
+
+    Scale shape: inherits the pair stage's blocking (one shuffle + one
+    gram matrix per block); component propagation runs on the PAIR
+    frame only, never the corpus.
+    """
+    from globallinks_spark.operators.dedup import connected_components
+
+    pairs = near_dup_pairs_vectorized(
+        embeddings, threshold, id_col=id_col, vec_col=vec_col,
+        partition_col=partition_col,
+    )
+    comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("keeper_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

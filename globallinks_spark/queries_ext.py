@@ -286,6 +286,40 @@ WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.35
 
 
 # ---------------------------------------------------------------------------
+# Q: embedding_dedup_groups — components + keeper over the embedding
+# near-dup pair graph (similarity.embedding_dedup_groups); the
+# embedding counterpart of dedup_groups, same recursive-CTE oracle.
+
+def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import embedding_dedup_groups
+
+    return embedding_dedup_groups(
+        load(spark, sf_dir, "embeddings"), threshold=0.35,
+        partition_col="label",
+    )
+
+
+def _sql_embedding_dedup_groups() -> str:
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT vec_a, vec_b FROM ({SQL_EMBEDDING_NEAR_DUP})
+), sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM p
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM p
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS vec_id,
+  least(a, min(b)) AS keeper_id,
+  a = least(a, min(b)) AS keep
+FROM reach GROUP BY a
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: ann_sign_lsh — bucketed ANN: top-5 within the query's sign-LSH bucket.
 
 def q_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2379,6 +2413,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_vec": QuerySpec(
         q_embedding_near_dup_vec, SQL_EMBEDDING_NEAR_DUP
+    ),
+    "embedding_dedup_groups": QuerySpec(
+        q_embedding_dedup_groups, _sql_embedding_dedup_groups()
     ),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
     "ann_multiprobe": QuerySpec(q_ann_multiprobe, SQL_ANN_MULTIPROBE),

@@ -681,3 +681,28 @@ class TestPersistedLshIndex:
         from globallinks_spark.functions import hashing as H
         assert bands.select("doc_id").distinct().count() <= 100
         assert bands.count() <= 100 * H.NUM_BANDS
+
+
+class TestEmbeddingDedupGroups:
+    def test_components_and_keepers(self, spark):
+        from globallinks_spark.operators.similarity import (
+            embedding_dedup_groups,
+        )
+
+        # label-0 block: 1~2~3 (chain via near-identical directions);
+        # label-1 block: 5~6; 9 alone
+        rows = [
+            (1, [1.0, 0.0], 0), (2, [1.0, 1e-4], 0), (3, [1.0, 2e-4], 0),
+            (5, [0.0, 1.0], 1), (6, [1e-4, 1.0], 1),
+            (9, [1.0, 0.0], 1),  # same direction as 1 but other block
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r.vec_id: r for r in embedding_dedup_groups(
+            emb, threshold=0.999).collect()}
+        assert out[1].keep and out[1].keeper_id == 1
+        assert not out[2].keep and out[2].keeper_id == 1
+        assert not out[3].keep and out[3].keeper_id == 1
+        assert out[5].keep and not out[6].keep and out[6].keeper_id == 5
+        assert 9 not in out     # blocked: never compared across labels
