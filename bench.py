@@ -105,6 +105,8 @@ BENCH_QUERIES = (
     "dedup_eval",
     "event_anomaly",
     "embedding_dedup_groups",
+    "cms_bound",
+    "bloom_bound",
 )
 
 

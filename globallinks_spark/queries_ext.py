@@ -1134,6 +1134,79 @@ FROM lineitem
 """
 
 
+def q_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (df.stat.countMinSketch) with its two-sided
+    contract checked in-query: CMS never under-counts, and over-counts
+    by at most ε·N with confidence 1−δ (Cormode & Muthukrishnan 2005).
+    The sketch is a bounded driver-side summary (depth×width counters —
+    parameters, not data); exact per-flag counts ride the same
+    aggregation. ε=0.01, δ=0.01; the bound check uses 3ε·N so the row
+    is deterministic at any realistic seed."""
+    li = load(spark, sf_dir, "lineitem").persist()
+    n = li.count()
+    # PySpark 4 dropped the Python stat wrappers for sketches; the JVM
+    # DataFrameStatFunctions still has them (org.apache.spark.util.sketch
+    # is public API) — same _jdf access plans/explain.py uses
+    cms = li._jdf.stat().countMinSketch("l_returnflag", 0.01, 0.99, 42)
+    exact = {
+        r["l_returnflag"]: r["count"]
+        for r in li.groupBy("l_returnflag").count().collect()
+    }
+    li.unpersist()
+    rows = []
+    for flag in sorted(exact):
+        est = cms.estimateCount(flag)
+        rows.append((
+            flag,
+            int(exact[flag]),
+            bool(est >= exact[flag]),
+            bool(est <= exact[flag] + 3 * 0.01 * n),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "flag string, exact_count bigint, never_undercounts boolean, "
+        "overcount_bounded boolean",
+    )
+
+
+SQL_CMS_BOUND = """
+SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS exact_count,
+  TRUE AS never_undercounts, TRUE AS overcount_bounded
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_bloom_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (df.stat.bloomFilter) contract checked in-query:
+    NO false negatives (every present key answers true) and a false-
+    positive rate on known-absent keys within 3× the requested fpp.
+    The filter is a bounded driver-side bit array; the probe sets are
+    deterministic (first 200 real part keys; 200 keys offset past the
+    key domain)."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = [
+        r.l_partkey
+        for r in li.select("l_partkey").distinct()
+        .orderBy("l_partkey").limit(200).collect()
+    ]
+    # JVM stat API — see q_cms_bound
+    bf = li._jdf.stat().bloomFilter("l_partkey", 300000, 0.03)
+    present_ok = all(bf.mightContain(k) for k in parts)
+    absent = [k + 100_000_000 for k in parts]
+    fp = sum(1 for k in absent if bf.mightContain(k)) / len(absent)
+    return spark.createDataFrame(
+        [(len(parts), bool(present_ok), bool(fp <= 3 * 0.03))],
+        "n_probed bigint, no_false_negatives boolean, fp_rate_bounded boolean",
+    )
+
+
+SQL_BLOOM_BOUND = """
+SELECT CAST(least(count(DISTINCT l_partkey), 200) AS BIGINT) AS n_probed,
+  TRUE AS no_false_negatives, TRUE AS fp_rate_bounded
+FROM lineitem
+"""
+
+
 SQL_APPROX_PROFILE_BOUND = """
 SELECT count(*) AS n_rows,
   count(DISTINCT l_partkey) AS exact_parts,
@@ -2467,6 +2540,8 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "approx_quantiles_bound": QuerySpec(
         q_approx_quantiles_bound, SQL_APPROX_QUANTILES_BOUND
     ),
+    "cms_bound": QuerySpec(q_cms_bound, SQL_CMS_BOUND),
+    "bloom_bound": QuerySpec(q_bloom_bound, SQL_BLOOM_BOUND),
     "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
     "domain_cap": QuerySpec(q_domain_cap, _sql_domain_cap()),
