@@ -85,3 +85,22 @@ class TestWrite:
             shard_of(F.col("doc_id"), 4).alias("expect"),
         )
         assert df.filter(F.col("shard") != F.col("expect")).count() == 0
+
+
+class TestOverwriteSemantics:
+    def test_shrunk_corpus_leaves_no_stale_partitions(self, spark, tmp_path):
+        """Overwrite must replace the whole partition tree: a rebuild
+        from a corpus that lost its 'val' docs may not leave the old
+        split=val subtree behind (dynamic partition overwrite would)."""
+        out = str(tmp_path / "shrink")
+        full = spark.createDataFrame(
+            [(i, "text here", "train" if i < 8 else "val")
+             for i in range(10)],
+            "doc_id long, text string, split string",
+        )
+        write_training_shards(full, out, n_shards=2)
+        assert os.path.isdir(os.path.join(out, "split=val"))
+        train_only = full.filter("split = 'train'")
+        write_training_shards(train_only, out, n_shards=2)
+        assert not os.path.isdir(os.path.join(out, "split=val"))
+        assert read_training_shards(spark, out).count() == 8

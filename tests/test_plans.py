@@ -208,3 +208,38 @@ class TestRound3PlanShapes:
     def test_frame_sample_has_no_shuffle(self, spark_noaqe):
         df = REGISTRY["frame_sample"].fn(spark_noaqe, SF)
         assert count_shuffles(df) == 0
+
+
+class TestRuntimeBloomJoinPruning:
+    def test_selective_dim_join_injects_bloom_filter(self, spark, tmp_path):
+        """Spark's runtime Bloom-filter join pruning (on by default in
+        session.py's AQE config) must engage for the fact⋈filtered-dim
+        shape: the filtered side's keys build a bloom_filter_agg and the
+        fact scan gains a might_contain filter — the semi-join reduction
+        that cuts fact-side shuffle volume at 100 TB. Pin it so a conf
+        regression (or a Spark default change) is caught."""
+        from globallinks_spark.queries import load
+
+        prev_scan = spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold")
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # local-fixture sizes sit under the production thresholds; zero
+        # them so the rule fires the way it would on TB-scale inputs
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            li = load(spark, SF, "lineitem")
+            od = load(spark, SF, "orders").filter(
+                F.col("o_orderstatus") == "F"
+            )
+            j = li.join(od, li.l_orderkey == od.o_orderkey)
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom" in plan.lower(), "runtime bloom filter not injected"
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter"
+                ".applicationSideScanSizeThreshold", prev_scan)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)

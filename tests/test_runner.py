@@ -288,3 +288,16 @@ class TestCurateCli:
         data = read_training_shards(spark, out)
         assert data.count() == sum(l["n_docs"] for l in lines)
         assert set(data.columns) >= {"doc_id", "text", "split", "shard"}
+
+
+class TestSqlCliErrors:
+    def test_bad_query_raises_analysis_error(self, spark):
+        from pyspark.errors import AnalysisException
+
+        from globallinks_spark.__main__ import main
+
+        with pytest.raises(AnalysisException):
+            main([
+                "globallinks_spark", "sql", "/root/testdata/sf0.001",
+                "SELECT nope FROM region",
+            ])
