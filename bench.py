@@ -107,6 +107,11 @@ BENCH_QUERIES = (
     "embedding_dedup_groups",
     "cms_bound",
     "bloom_bound",
+    "shipping_priority",
+    "volume_by_nation",
+    "large_orders",
+    "customer_order_distribution",
+    "ordered_token_shards",
 )
 
 

@@ -82,13 +82,25 @@ def measure_extract(spark, n_pages: int, cores: int) -> dict:
         for _ in range(3):
             links.count()
 
-        t0 = time.perf_counter()
-        n_links = links.count()
-        t_extract = time.perf_counter() - t0
+        # min-of-2 timed passes, same policy as bench.py's query loop:
+        # the first timed pass in a fresh JVM can still carry tail-end
+        # C2 compilation, and when bench.py calls this after its 70+
+        # query runs the old-gen is full of dead broadcast/cache blocks
+        # whose collection lands on whichever pass runs first. A GC
+        # hint before timing plus taking the minimum isolates the
+        # sustained-regime number both claims cite.
+        spark.sparkContext._jvm.System.gc()
+        t_extract, n_links = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_links = links.count()
+            t_extract = min(t_extract, time.perf_counter() - t0)
 
-        t0 = time.perf_counter()
-        n_compact = compact_segment(links).count()
-        t_compact = time.perf_counter() - t0
+        t_compact, n_compact = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_compact = compact_segment(links).count()
+            t_compact = min(t_compact, time.perf_counter() - t0)
 
         pages_min_core = n_pages / (t_extract / 60) / cores
         return {

@@ -550,30 +550,34 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    cached = labels  # the round's materialized frame (labels may be a
+    # projection of it, whose own unpersist would not free the cache)
     changed = -1
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a").agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # change detection rides the same join as the update (the old
+        # label is already on the row) — a separate new-vs-old join
+        # would add a full shuffle per round for information the update
+        # row carries for free
+        upd = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label"))
+                 < F.col("label")).alias("__chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = upd.filter(F.col("__chg")).count()
+        cached.unpersist()
+        cached = upd
+        labels = upd.select("node", "label")
         if changed == 0:
             break
     if changed != 0:

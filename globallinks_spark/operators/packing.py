@@ -178,3 +178,130 @@ SELECT {id_col}, n_tokens, shard,
          + CAST(floor((cum - n_tokens) / {budget}) AS BIGINT) AS bin_id
 FROM packed
 """
+
+
+# ---------------------------------------------------------------------------
+# Order-preserving sharding: the distributed global prefix sum.
+#
+# pack_sequences (above) hash-shards because next-fit packing only needs
+# SOME deterministic order. When the corpus order is meaningful —
+# curriculum schedules, time-ordered crawls, locality-preserving shards
+# for sequential readers — the shard boundaries must follow the GLOBAL
+# id order, which needs a global running sum of token counts. A naive
+# `Window.orderBy(id)` with no partition key collapses the whole corpus
+# into ONE task (Spark plans an Exchange SinglePartition) — the classic
+# 100-TB scale killer. The standard fix is the two-phase distributed
+# scan (Blelloch 1990, "Prefix Sums and Their Applications"):
+#
+#   1. bucket rows by an order-preserving key range
+#      (bucket = id div bucket_width — id order ⇒ bucket order);
+#   2. aggregate per-bucket token totals (tiny frame: n/bucket_width
+#      rows), take the running sum over THAT frame — the only
+#      single-partition window, over thousands of rows, not billions;
+#   3. broadcast-join each bucket's exclusive offset back and finish
+#      with a per-bucket window — fully parallel, one shuffle on the
+#      bucket key.
+#
+# The oracle (ordered_token_shards_sql) states the same result as the
+# naive single window — DuckDB runs at oracle scale where that is fine —
+# so the driver hash-check proves the two-phase plan computes exactly
+# the global cumsum it replaces.
+
+def ordered_token_shards(
+    docs: DataFrame,
+    budget: int = 2_000,
+    bucket_width: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to ≈``budget``-token shards IN GLOBAL ``id_col``
+    ORDER: (shard_id, n_docs, total_tokens, first_doc, last_doc).
+
+    A document belongs to the shard its first token lands in
+    (``shard = floor(exclusive_prefix / budget)``), so shards are
+    contiguous id ranges and may overrun by at most one document —
+    the same next-fit contract as pack_sequences, but order-preserving.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    idc = F.col(id_col).cast("bigint")
+    base = docs.select(
+        idc.alias(id_col),
+        TX.bpe_token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        (idc - (idc % F.lit(bucket_width))).alias("__bucket"),
+    )
+    # phase 2: per-bucket totals → running sum over the bucket frame.
+    # The unpartitioned window here is over n/bucket_width rows — the
+    # deliberate, bounded single task of the two-phase scan.
+    wb = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__btok"))
+        .select(
+            "__bucket",
+            (F.sum("__btok").over(wb) - F.col("__btok")).alias("__offset"),
+        )
+    )
+    # phase 3: within-bucket cumsum + broadcast offset = global prefix
+    wd = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixed = (
+        base.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "__before",
+            F.col("__offset")
+            + F.sum("n_tokens").over(wd)
+            - F.col("n_tokens"),
+        )
+    )
+    return (
+        prefixed.groupBy(
+            F.floor(F.col("__before") / F.lit(budget)).alias("shard_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
+
+
+def ordered_token_shards_sql(
+    budget: int = 2_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """The naive global-window statement of the same result (oracle
+    scale only — see the module comment on why the engine side never
+    plans this shape)."""
+    n_tok = TX.bpe_token_count_sql(text_col)
+    return f"""
+WITH t AS (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col},
+         CAST({n_tok} AS BIGINT) AS n_tokens
+  FROM {table}
+), c AS (
+  SELECT {id_col}, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS before
+  FROM t
+)
+SELECT CAST(floor(before / {budget}) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min({id_col}) AS first_doc,
+       max({id_col}) AS last_doc
+FROM c GROUP BY 1
+"""

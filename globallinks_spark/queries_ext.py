@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from globallinks_spark.functions import hashing as H
 from globallinks_spark.functions import text as TX
 from globallinks_spark.functions import vectors as V
-from globallinks_spark.queries import QuerySpec, load
+from globallinks_spark.queries_base import QuerySpec, load
 
 # Shared oracle CTE: documents → words → distinct 3-gram shingles → H30
 # hashes (mirrors operators.dedup.with_shingle_hashes).
