@@ -112,6 +112,7 @@ BENCH_QUERIES = (
     "large_orders",
     "customer_order_distribution",
     "ordered_token_shards",
+    "chunk_documents",
 )
 
 

@@ -9,6 +9,7 @@
     python -m globallinks_spark serve <serving_path> [port] [certfile keyfile]
     python -m globallinks_spark sql <data_dir> <query> [limit]
     python -m globallinks_spark curate <data_dir> <out_dir> [n_shards]
+    python -m globallinks_spark explain <data_dir> <query_name> [mode]
 
 (reference: cmd/importer, cmd/importer compacting mode, cmd/storelinks,
 cmd/linksapi — /root/reference/cmd/*/main.go)
@@ -89,6 +90,19 @@ def main(argv: list[str]) -> int:
             .orderBy("split", "shard").toJSON().collect()
         ):
             print(line)
+    elif cmd == "explain" and len(argv) in (4, 5):
+        # plan inspection for any catalog query — the feedback loop the
+        # scale docs tell users to run before shipping a new operator
+        from globallinks_spark.plans.explain import plan_string
+        from globallinks_spark.queries import REGISTRY
+
+        name = argv[3]
+        if name not in REGISTRY:
+            print(f"unknown query {name!r}; available: "
+                  + ", ".join(sorted(REGISTRY)))
+            return 2
+        mode = argv[4] if len(argv) == 5 else "formatted"
+        print(plan_string(REGISTRY[name].fn(spark, argv[2]), mode))
     elif cmd == "serve" and len(argv) in (3, 4, 6):
         from globallinks_spark.httpapi import serve
 

@@ -690,3 +690,96 @@ FROM tf JOIN df USING (term) JOIN lens ON lens.doc_id = tf.doc_id,
 GROUP BY tf.doc_id
 ORDER BY score DESC, tf.doc_id ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size overlapping chunking — the segmentation step between
+# curation and embedding/RAG indexing (every retrieval pipeline cuts
+# documents into ~chunk_size-token windows with overlap so no span is
+# split across a boundary without context).
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into overlapping word windows:
+    (doc_id, chunk_id, chunk_text, n_words).
+
+    Chunk ``i`` covers words ``[i*stride, i*stride + chunk_size)`` and
+    chunks are generated while ``i*stride < n_words`` — so tails
+    shorter than ``chunk_size`` survive as their own (shorter) chunk
+    and every word lands in ≥1 chunk. ``stride < chunk_size`` gives an
+    overlap of ``chunk_size − stride`` words between neighbors;
+    ``stride = chunk_size`` is exact tiling. Empty documents yield no
+    chunks.
+
+    Scale shape: pure per-row array algebra (split → transform → slice)
+    followed by one explode — embarrassingly parallel, no shuffle at
+    all; the output is ~n_words/stride rows per document. The chunk
+    construction never concatenates per-chunk copies of the document
+    (the slice happens on the shared words array), so peak row width
+    stays O(doc), not O(doc × chunks).
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride must be in (0, chunk_size={chunk_size}], got {stride}"
+        )
+    words = TX.words(F.col(text_col))
+    n = F.size(words)
+    idx = F.when(n > 0, F.sequence(
+        F.lit(0).cast("bigint"),
+        F.floor((n.cast("bigint") - 1) / F.lit(stride)),
+    )).otherwise(F.array().cast("array<bigint>"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(words, (i * stride + 1).cast("int"), chunk_size)
+            .alias("w"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.array_join(F.col("c.w"), " ").alias("chunk_text"),
+            F.size(F.col("c.w")).alias("n_words"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    ws = TX.words_sql(text_col)
+    return f"""
+WITH w AS (
+  SELECT {id_col}, {ws} AS words FROM {table}
+), c AS (
+  SELECT {id_col},
+    CASE WHEN len(words) > 0 THEN
+      list_transform(
+        range(0, ((len(words) - 1) // {stride}) + 1),
+        i -> struct_pack(
+          chunk_id := CAST(i AS BIGINT),
+          w := words[(i * {stride} + 1):(i * {stride} + {chunk_size})]))
+    ELSE [] END AS chunks
+  FROM w
+)
+SELECT {id_col},
+       u.chunk_id AS chunk_id,
+       array_to_string(u.w, ' ') AS chunk_text,
+       CAST(len(u.w) AS INTEGER) AS n_words
+FROM (SELECT {id_col}, unnest(chunks) AS u FROM c)
+"""

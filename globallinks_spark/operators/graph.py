@@ -71,6 +71,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if (_ + 1) % 5 == 0 and _ + 1 < iterations:
+            # at high iteration counts the un-materialized plan grows
+            # by two joins per round; truncate lineage every 5 rounds
+            # so analysis/codegen cost stays bounded (the default
+            # iterations=3 never hits this). Non-eager: the final
+            # action materializes the chain of checkpoints in order.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -2424,6 +2424,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.inverted_index(load(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators import corpus as C
+
+    return C.chunk_documents(load(spark, sf_dir, "documents"))
+
+
 def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.streaming.join import purchase_attribution
 
@@ -2470,6 +2476,9 @@ def _corpus_specs() -> dict[str, QuerySpec]:
         ),
         "inverted_index": QuerySpec(
             q_inverted_index, C.inverted_index_sql()
+        ),
+        "chunk_documents": QuerySpec(
+            q_chunk_documents, C.chunk_documents_sql()
         ),
     }
 

@@ -128,3 +128,41 @@ class TestBigramLM:
         d = docs(spark, [("a b", "en")])
         r = C.bigram_lm_score(d).collect()[0]
         assert r.avg_nll == pytest.approx(round(-math.log(2 / 3), 6))
+
+
+class TestChunkDocuments:
+    def test_tiling_and_overlap(self, spark):
+        # 10 words, chunk 4, stride 3 → starts 0,3,6,9: last chunk 1 word
+        d = docs(spark, [("w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "en")])
+        rows = sorted(
+            C.chunk_documents(d, chunk_size=4, stride=3).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert [r.chunk_text for r in rows] == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+        ]
+        assert [r.n_words for r in rows] == [4, 4, 4, 1]
+
+    def test_every_word_covered_no_empty_chunks(self, spark):
+        d = docs(spark, [("a b c d e f g", "en")])
+        rows = C.chunk_documents(d, chunk_size=3, stride=3).collect()
+        got = [w for r in sorted(rows, key=lambda r: r.chunk_id)
+               for w in r.chunk_text.split()]
+        assert got == list("abcdefg")  # exact tiling: no overlap, no gap
+        assert all(r.n_words > 0 for r in rows)
+
+    def test_empty_and_short_docs(self, spark):
+        d = docs(spark, [("", "en"), ("   ", "en"), ("only", "en")])
+        rows = C.chunk_documents(d, chunk_size=8, stride=8).collect()
+        # empty/whitespace docs vanish; the 1-word doc is one chunk
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "only" and rows[0].n_words == 1
+
+    def test_arg_validation(self, spark):
+        d = docs(spark, [("a", "en")])
+        with pytest.raises(ValueError):
+            C.chunk_documents(d, chunk_size=0)
+        with pytest.raises(ValueError):
+            C.chunk_documents(d, chunk_size=4, stride=5)
+        with pytest.raises(ValueError):
+            C.chunk_documents(d, chunk_size=4, stride=0)

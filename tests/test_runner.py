@@ -301,3 +301,28 @@ class TestSqlCliErrors:
                 "globallinks_spark", "sql", "/root/testdata/sf0.001",
                 "SELECT nope FROM region",
             ])
+
+
+class TestExplainCli:
+    def test_explain_prints_physical_plan(self, capsys):
+        from globallinks_spark.__main__ import main
+
+        rc = main([
+            "globallinks_spark", "explain", "/root/testdata/sf0.001",
+            "shipping_priority",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Physical Plan" in out
+        assert "TakeOrderedAndProject" in out
+
+    def test_explain_unknown_query_lists_catalog(self, capsys):
+        from globallinks_spark.__main__ import main
+
+        rc = main([
+            "globallinks_spark", "explain", "/root/testdata/sf0.001",
+            "not_a_query",
+        ])
+        assert rc == 2
+        out = capsys.readouterr().out
+        assert "unknown query" in out and "pricing_summary" in out
