@@ -166,3 +166,26 @@ class TestChunkDocuments:
             C.chunk_documents(d, chunk_size=4, stride=5)
         with pytest.raises(ValueError):
             C.chunk_documents(d, chunk_size=4, stride=0)
+
+    @pytest.mark.parametrize("n,chunk,stride", [
+        (1, 4, 3), (3, 4, 4), (7, 4, 3), (12, 5, 2), (13, 13, 13),
+        (20, 8, 5), (25, 4, 1),
+    ])
+    def test_coverage_invariants_sweep(self, spark, n, chunk, stride):
+        """For any (n_words, chunk_size, stride): chunk ids are
+        contiguous from 0, chunk i starts at word i*stride, every word
+        is covered, and de-overlapping by stride reconstructs the doc."""
+        text = " ".join(f"w{i}" for i in range(n))
+        d = docs(spark, [(text, "en")])
+        rows = sorted(
+            C.chunk_documents(d, chunk_size=chunk, stride=stride).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        rebuilt = []
+        for r in rows:
+            w = r.chunk_text.split()
+            assert w[0] == f"w{r.chunk_id * stride}"
+            assert len(w) == min(chunk, n - r.chunk_id * stride)
+            rebuilt.extend(w if r.chunk_id == 0 else w[chunk - stride:])
+        assert rebuilt == text.split()
