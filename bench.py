@@ -147,6 +147,12 @@ def main() -> None:
         fn = REGISTRY[name].fn
         best, n = float("inf"), 0
         for _ in range(2):
+            # GC hint OUTSIDE the timing window: 80+ queries of dead
+            # broadcast/cache blocks otherwise pile into the old gen and
+            # their collection lands inside whichever later query runs
+            # next (measured: the same query 1.8 s isolated, 5.8 s at
+            # position ~74 of a run without this)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

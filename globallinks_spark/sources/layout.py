@@ -55,9 +55,18 @@ def zorder_value(
                 / F.lit(float(hi - lo))
                 * F.lit(max_bucket)
             )
-            bucket = F.least(
-                F.greatest(F.floor(scaled), F.lit(0)), F.lit(max_bucket)
-            ).cast("bigint")
+            # null/NaN values land in bucket 0 (they'd otherwise
+            # null-poison the whole z-value through bitwiseOR and
+            # cluster arbitrarily)
+            bucket = F.coalesce(
+                F.least(
+                    F.greatest(
+                        F.floor(F.nanvl(scaled, F.lit(0.0))), F.lit(0)
+                    ),
+                    F.lit(max_bucket),
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
         else:
             bucket = F.lit(0).cast("bigint")
         for b in range(bits):
@@ -87,6 +96,12 @@ def write_zordered(
         *[f for c in cols
           for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
     ).first()
+    missing = [c for c in cols if row[f"lo_{c}"] is None]
+    if missing:
+        raise ValueError(
+            f"no non-null values to cluster on for column(s) {missing} "
+            "(empty input or all-null column)"
+        )
     bounds = {
         c: (float(row[f"lo_{c}"]), float(row[f"hi_{c}"])) for c in cols
     }

@@ -94,3 +94,24 @@ class TestZorderPruning:
         s_total = _total_files(spark, s_path)
         assert _files_touched(spark, s_path, x_slab) <= max(s_total // 4, 3)
         assert _files_touched(spark, s_path, y_slab) == s_total
+
+
+class TestEdgeCases:
+    def test_null_values_land_in_bucket_zero(self, spark):
+        rows = spark.createDataFrame(
+            [(None, 3), (0, 3)], "a int, b int"
+        ).withColumn(
+            "z", zorder_value(["a", "b"], {"a": (0, 3), "b": (0, 3)}, bits=2)
+        ).collect()
+        by_a = {r.a: r.z for r in rows}
+        assert by_a[None] == by_a[0]  # null clusters with the low edge
+
+    def test_empty_input_raises(self, spark):
+        df = spark.createDataFrame([], "a int, b int")
+        with pytest.raises(ValueError, match="non-null"):
+            write_zordered(df, "/tmp/never-written", ["a", "b"])
+
+    def test_empty_cols_raises(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        with pytest.raises(ValueError, match="non-empty"):
+            write_zordered(df, "/tmp/never-written", [])
