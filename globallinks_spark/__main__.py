@@ -102,6 +102,10 @@ def main(argv: list[str]) -> int:
                   + ", ".join(sorted(REGISTRY)))
             return 2
         mode = argv[4] if len(argv) == 5 else "formatted"
+        modes = ("simple", "extended", "codegen", "cost", "formatted")
+        if mode not in modes:
+            print(f"unknown mode {mode!r}; one of: {', '.join(modes)}")
+            return 2
         print(plan_string(REGISTRY[name].fn(spark, argv[2]), mode))
     elif cmd == "serve" and len(argv) in (3, 4, 6):
         from globallinks_spark.httpapi import serve

@@ -730,7 +730,17 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in (0, chunk_size={chunk_size}], got {stride}"
         )
-    words = TX.words(F.col(text_col))
+    # words staged through a named column BEFORE the transform lambda:
+    # higher-order functions re-evaluate non-lambda subexpressions per
+    # element, so inlining words(text) here re-tokenizes the document
+    # once per chunk — the with_shingle_hashes failure mode (measured
+    # 100× on the sf0.1 bench for the inlined form). _spread: a small
+    # local parquet arrives single-partition and would serialize the
+    # chunk scan onto one task (no-op at scale).
+    staged = _spread(docs).select(
+        F.col(id_col), TX.words(F.col(text_col)).alias("__w")
+    )
+    words = F.col("__w")
     n = F.size(words)
     idx = F.when(n > 0, F.sequence(
         F.lit(0).cast("bigint"),
@@ -745,7 +755,7 @@ def chunk_documents(
         ),
     )
     return (
-        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        staged.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,
             F.col("c.chunk_id").alias("chunk_id"),

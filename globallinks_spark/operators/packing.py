@@ -221,6 +221,12 @@ def ordered_token_shards(
     (``shard = floor(exclusive_prefix / budget)``), so shards are
     contiguous id ranges and may overrun by at most one document —
     the same next-fit contract as pack_sequences, but order-preserving.
+
+    Sizing ``bucket_width`` at scale: the offsets frame has
+    ``id_range / bucket_width`` rows and rides a broadcast join AND the
+    one single-partition window, so pick bucket_width ≈ id_range / 10⁴
+    … 10⁵ (e.g. 100k for a billion-doc corpus → 10k offset rows). The
+    default (100) matches the test corpus; it is NOT a 100-TB default.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

@@ -89,27 +89,64 @@ def write_zordered(
     """Write ``df`` as parquet clustered on the Z-curve over ``cols``:
     range-partition into ``n_files`` tasks by z-value, sort within each,
     drop the helper column. Readers need nothing special — parquet
-    min/max stats simply become selective on every ``cols`` member."""
+    min/max stats simply become selective on every ``cols`` member.
+
+    The input is persisted for the duration of the write: three passes
+    read it (the stats agg, repartitionByRange's range-boundary
+    sampling, and the write itself), so an unpersisted expensive
+    upstream would be recomputed twice."""
     if not cols:
         raise ValueError("cols must be non-empty")
-    row = df.agg(
-        *[f for c in cols
-          for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
-    ).first()
-    missing = [c for c in cols if row[f"lo_{c}"] is None]
-    if missing:
+    if "__z" in df.columns:
         raise ValueError(
-            f"no non-null values to cluster on for column(s) {missing} "
-            "(empty input or all-null column)"
+            "input already has a column named __z (reserved for the "
+            "z-value helper); rename it before clustering"
         )
-    bounds = {
-        c: (float(row[f"lo_{c}"]), float(row[f"hi_{c}"])) for c in cols
-    }
-    (
-        df.withColumn("__z", zorder_value(cols, bounds, bits))
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    import math as _math
+
+    df = df.persist()
+    try:
+        # NaN sorts above every double under Spark's Max, so a single
+        # NaN row would otherwise poison hi and (hi > lo) would
+        # silently disable the column's clustering — filter non-finite
+        # values out of the stats pass (rows keep them; zorder_value
+        # buckets them to the low edge)
+        row = df.agg(
+            *[
+                f
+                for c in cols
+                for cd in [F.col(c).cast("double")]
+                for fin in [
+                    F.when(~F.isnan(cd) & ~cd.isin(
+                        float("inf"), float("-inf")
+                    ), cd)
+                ]
+                for f in (
+                    F.min(fin).alias(f"lo_{c}"),
+                    F.max(fin).alias(f"hi_{c}"),
+                )
+            ]
+        ).first()
+        missing = [c for c in cols if row[f"lo_{c}"] is None]
+        if missing:
+            raise ValueError(
+                f"no finite values to cluster on for column(s) {missing} "
+                "(empty input or all-null/NaN column)"
+            )
+        bounds = {
+            c: (float(row[f"lo_{c}"]), float(row[f"hi_{c}"])) for c in cols
+        }
+        assert all(
+            _math.isfinite(lo) and _math.isfinite(hi)
+            for lo, hi in bounds.values()
+        )
+        (
+            df.withColumn("__z", zorder_value(cols, bounds, bits))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        df.unpersist()

@@ -108,10 +108,30 @@ class TestEdgeCases:
 
     def test_empty_input_raises(self, spark):
         df = spark.createDataFrame([], "a int, b int")
-        with pytest.raises(ValueError, match="non-null"):
+        with pytest.raises(ValueError, match="finite"):
             write_zordered(df, "/tmp/never-written", ["a", "b"])
 
     def test_empty_cols_raises(self, spark):
         df = spark.createDataFrame([(1, 2)], "a int, b int")
         with pytest.raises(ValueError, match="non-empty"):
             write_zordered(df, "/tmp/never-written", [])
+
+    def test_nan_in_column_does_not_disable_clustering(self, spark):
+        # one NaN row must not poison the max bound (NaN sorts above
+        # every double in Spark's Max) — clustering on y must survive
+        df = spark.createDataFrame(
+            [(float("nan"), 0.0)] + [(float(i), float(i)) for i in range(8)],
+            "x double, y double",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/t"
+            write_zordered(df, path, ["x", "y"], n_files=2, bits=4)
+            got = spark.read.parquet(path)
+            assert got.count() == 9  # NaN row survives in the data
+
+    def test_reserved_helper_column_rejected(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, __z int")
+        with pytest.raises(ValueError, match="__z"):
+            write_zordered(df, "/tmp/never-written", ["a"])
