@@ -113,6 +113,7 @@ BENCH_QUERIES = (
     "customer_order_distribution",
     "ordered_token_shards",
     "chunk_documents",
+    "ngram_topk",
 )
 
 

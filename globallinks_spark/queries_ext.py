@@ -2424,6 +2424,39 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.inverted_index(load(spark, sf_dir, "documents"))
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram frequency table, top 20 — the n-gram stats pass
+    of LM data analysis (which phrases dominate the corpus). One
+    tokenize + one shuffle on the gram key (partial counts map-side),
+    TakeOrdered for the top-k; ties break on the gram string so both
+    engines cut rank 20 identically."""
+    from globallinks_spark.operators.dedup import _spread
+
+    d = load(spark, sf_dir, "documents")
+    staged = _spread(d).select(TX.words(F.col("text")).alias("w"))
+    return (
+        staged.select(
+            F.explode(TX.shingles_seq(F.col("w"), 3)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+def _sql_ngram_topk() -> str:
+    return f"""
+WITH w AS (
+  SELECT {TX.words_sql('text')} AS w FROM documents
+), g AS (
+  SELECT unnest({TX.shingles_seq_sql('w', 3)}) AS gram FROM w
+)
+SELECT gram, count(*) AS n FROM g
+GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators import corpus as C
 
@@ -2480,6 +2513,7 @@ def _corpus_specs() -> dict[str, QuerySpec]:
         "chunk_documents": QuerySpec(
             q_chunk_documents, C.chunk_documents_sql()
         ),
+        "ngram_topk": QuerySpec(q_ngram_topk, _sql_ngram_topk()),
     }
 
 
