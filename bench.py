@@ -1,9 +1,26 @@
-"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""Benchmark harness — runs the 50 driver-registry entries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE
+SHORT JSON line:
 
-Each query executes with a full materialization action (count on the final
-plan) so the timing covers scan → shuffle → agg, not plan construction.
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "extract_pages_per_min_per_core": ..., "detail": "BENCH_DETAIL.json"}
+
+Full metadata (warmup/timing policy, extract breakdown, per-query row
+counts) goes to the BENCH_DETAIL.json sidecar — round 3's inline form
+overflowed the driver's tail capture and left the round without a
+parseable artifact, so the stdout line now carries only what the
+driver records.
+
+The timed set IS the driver's correctness registry (globallinks_spark.
+queries.REGISTRY): 50 entries covering every cataloged operator —
+consolidated suites time their member queries back-to-back in one
+entry (see queries_suites.py for the fold). Only production paths are
+timed; dual oracle-form variants (e.g. the expression form of
+embedding_near_dup) live in FULL_REGISTRY and pytest, not here.
+
+Each query executes with a full materialization action (count on the
+final plan) so the timing covers scan → shuffle → agg, not plan
+construction.
 
 Warmup policy (documented, deliberate): before timing, every query runs
 once at the smallest scale factor (sf0.001, same schemas) purely to
@@ -29,92 +46,8 @@ import time
 from globallinks_spark.queries import REGISTRY
 from globallinks_spark.session import get_spark
 
-BENCH_QUERIES = (
-    "pricing_summary",
-    "compaction_merge",
-    "api_merge",
-    "api_query",
-    "join_enrich",
-    "counters",
-    "top_k_per_group",
-    "url_parse",
-    "window_running",
-    "sessionize",
-    "dedup_exact",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_groups",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprint",
-    "simhash_near_dup",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_vec",
-    "ann_sign_lsh",
-    "ann_multiprobe",
-    "ann_random_projection",
-    "knn_join",
-    "text_quality",
-    "gopher_quality",
-    "repetition_profile",
-    "pii_scrub",
-    "lang_id",
-    "doc_fingerprint",
-    "multimodal_meta",
-    "streaming_window",
-    "asof_join",
-    "filter_sum",
-    "rollup_revenue",
-    "skew_distinct",
-    "set_ops",
-    "pivot_status",
-    "winnow_fingerprint",
-    "cube_revenue",
-    "quantiles",
-    "stats_agg",
-    "pagerank",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "dataset_split",
-    "curation_pipeline",
-    "approx_profile",
-    "approx_profile_bound",
-    "ann_ivf",
-    "streaming_dedup",
-    "range_join",
-    "dedup_incremental",
-    "contamination_check",
-    "dup_span_profile",
-    "mix_resample",
-    "quality_classifier",
-    "bigram_lm_score",
-    "semantic_dedup",
-    "domain_cap",
-    "pack_sequences",
-    "span_dedup_rewrite",
-    "inverted_index",
-    "gap_fill",
-    "purchase_attribution",
-    "bm25_search",
-    "triangle_count",
-    "session_window_agg",
-    "training_assembly",
-    "frame_sample",
-    "approx_quantiles_bound",
-    "clustering_coeff",
-    "dedup_eval",
-    "event_anomaly",
-    "embedding_dedup_groups",
-    "cms_bound",
-    "bloom_bound",
-    "shipping_priority",
-    "volume_by_nation",
-    "large_orders",
-    "customer_order_distribution",
-    "ordered_token_shards",
-    "chunk_documents",
-    "ngram_topk",
-)
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
 
 
 def main() -> None:
@@ -129,9 +62,9 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in BENCH_QUERIES:
+    for name, spec in REGISTRY.items():
         try:
-            REGISTRY[name].fn(spark, warm_dir).count()
+            spec.fn(spark, warm_dir).count()
         except Exception as exc:  # never let warmup sink the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     # drop every cached frame the warmup runs left behind — leftover
@@ -144,21 +77,22 @@ def main() -> None:
     # cost of the plan. clearCache between runs — no cross-run or
     # cross-query cache reuse inflates any number.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = REGISTRY[name].fn
+    rows: dict[str, int] = {}
+    for name, spec in REGISTRY.items():
         best, n = float("inf"), 0
         for _ in range(2):
-            # GC hint OUTSIDE the timing window: 80+ queries of dead
+            # GC hint OUTSIDE the timing window: 50 queries of dead
             # broadcast/cache blocks otherwise pile into the old gen and
             # their collection lands inside whichever later query runs
             # next (measured: the same query 1.8 s isolated, 5.8 s at
             # position ~74 of a run without this)
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            n = spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        rows[name] = n
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -183,21 +117,36 @@ def main() -> None:
         except Exception as exc:
             print(f"# extract bench failed: {exc}", file=sys.stderr)
 
+    detail = {
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "n_queries": len(timings),
+        "total_sec": total,
+        "queries_sec": timings,
+        "rows": rows,
+        "warmup": f"each query once at {warm_dir} (codegen steady-state)",
+        "timing": "min of 2 isolated runs (cache cleared between)",
+        "registry": "driver REGISTRY (50 consolidated entries; see "
+                    "queries_suites.py for the suite → operator fold)",
+    }
+    if extract is not None:
+        detail["extract"] = extract
+    try:
+        with open(DETAIL_PATH, "w", encoding="utf-8") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "warmup": f"each query once at {warm_dir} (codegen steady-state)",
-        "timing": "min of 2 isolated runs (cache cleared between)",
+        "detail": "BENCH_DETAIL.json",
     }
     if extract is not None:
         out["extract_pages_per_min_per_core"] = extract["value"]
-        out["extract_detail"] = {
-            k: extract[k]
-            for k in ("n_pages", "cores", "extract_sec", "compact_sec")
-        }
     print(json.dumps(out))
     spark.stop()
 

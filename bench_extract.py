@@ -96,6 +96,10 @@ def measure_extract(spark, n_pages: int, cores: int) -> dict:
             n_links = links.count()
             t_extract = min(t_extract, time.perf_counter() - t0)
 
+        # same GC hint as the extract loop (the stated min-of-2 policy):
+        # without it, compact timings can absorb old-gen collection of
+        # the extract passes' dead blocks.
+        spark.sparkContext._jvm.System.gc()
         t_compact, n_compact = float("inf"), 0
         for _ in range(2):
             t0 = time.perf_counter()

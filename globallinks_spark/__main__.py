@@ -94,7 +94,7 @@ def main(argv: list[str]) -> int:
         # plan inspection for any catalog query — the feedback loop the
         # scale docs tell users to run before shipping a new operator
         from globallinks_spark.plans.explain import plan_string
-        from globallinks_spark.queries import REGISTRY
+        from globallinks_spark.queries import FULL_REGISTRY as REGISTRY
 
         name = argv[3]
         if name not in REGISTRY:

@@ -517,6 +517,21 @@ def simhash_near_dup_pairs(
     )
 
 
+def _ckpt_rdd(df: DataFrame):
+    """JVM handle to the block-holding RDD behind a localCheckpoint-ed
+    frame (the LogicalRDD the truncated plan scans). Lets iterative
+    loops free a superseded round's blocks deterministically with
+    ``handle.unpersist(False)`` instead of waiting for the
+    nondeterministic ContextCleaner. Returns None (degrading to
+    GC-driven cleanup) if the private query-execution surface moves —
+    correctness never depends on the handle, only peak storage does.
+    """
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -543,14 +558,16 @@ def connected_components(
     round — measured on a 5-round graph, per-round wall time climbed
     1.1 s → 4.7 s from planning alone; with lineage truncated it stays
     flat at ~0.5 s. The checkpoint is non-eager, so the round's single
-    ``count`` action both materializes and truncates. Trade-offs:
-    checkpoint blocks are freed by the ContextCleaner when each round's
-    frame drops out of scope (no public unpersist exists for
-    checkpoints; the frames are pair-graph-sized, not corpus-sized),
-    and localCheckpoint data does not survive executor loss — on a
-    lossy cluster the job retries the stage, the standard trade for
-    iterative graph algorithms (GraphFrames requires a checkpoint dir
-    for exactly this reason).
+    ``count`` action both materializes and truncates. Peak storage is
+    bounded at TWO rounds of label blocks: once round N materializes,
+    round N-1's checkpoint RDD is unpersisted deterministically (via
+    ``_ckpt_rdd``) instead of waiting for the nondeterministic
+    ContextCleaner — only the final round's blocks survive the loop,
+    and the returned frame reads exactly those. localCheckpoint data
+    does not survive executor loss — on a lossy cluster the job
+    retries the stage, the standard trade for iterative graph
+    algorithms (GraphFrames requires a checkpoint dir for exactly this
+    reason).
     """
     edges = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
@@ -565,6 +582,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     changed = -1
+    prev_blocks = _ckpt_rdd(labels)
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -587,6 +605,12 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         changed = upd.filter(F.col("__chg")).count()
+        # this round's count materialized upd's checkpoint — the
+        # previous round's label blocks are now unreachable from any
+        # live plan and can be dropped immediately
+        if prev_blocks is not None:
+            prev_blocks.unpersist(False)
+        prev_blocks = _ckpt_rdd(upd)
         labels = upd.select("node", "label")
         if changed == 0:
             break

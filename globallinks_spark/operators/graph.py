@@ -52,7 +52,7 @@ def pagerank(
     base = (1.0 - damping) / n
 
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), 12))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             e.join(deg, "src")
             .join(ranks, e["src"] == ranks["node"])
@@ -71,7 +71,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (_ + 1) % 5 == 0 and _ + 1 < iterations:
+        if (it + 1) % 5 == 0 and it + 1 < iterations:
             # at high iteration counts the un-materialized plan grows
             # by two joins per round; truncate lineage every 5 rounds
             # so analysis/codegen cost stays bounded (the default

@@ -490,17 +490,34 @@ FROM base
 # ``lang`` column.
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.functions.binding import bind_once
+
     d = load(spark, sf_dir, "documents")
-    w = TX.words(F.col("text"))
-    base = d.select("doc_id", "lang", "text", w.alias("w"))
+    # bind the token array AND each per-language score: predict_lang's
+    # argmax CASE chain references every score ~2·(n_langs-1) times, and
+    # without the barrier CollapseProject inlines the array-filter tree
+    # into each reference (~160 array scans/row at 10 languages —
+    # measured 3× the r02 wall time when the catalog grew from 3 to 10
+    # languages). Bound, each score is ONE filter pass over the bound
+    # token array and the chain compares plain int attributes.
+    base = d.select(
+        "doc_id", "lang", "text",
+        bind_once(TX.words(F.col("text"))).alias("w"),
+    )
     scores = {
         lang: TX.lang_score(F.col("w"), lang, text=F.col("text"))
         for lang in TX.LANG_MARKERS
     }
-    out = base.select(
+    scored = base.select(
+        "doc_id", "lang",
+        *[bind_once(scores[lang]).alias(f"s_{lang}")
+          for lang in TX.LANG_MARKERS],
+    )
+    bound = {lang: F.col(f"s_{lang}") for lang in TX.LANG_MARKERS}
+    out = scored.select(
         "doc_id",
-        *[scores[lang].alias(f"s_{lang}") for lang in TX.LANG_MARKERS],
-        TX.predict_lang(scores).alias("predicted"),
+        *[f"s_{lang}" for lang in TX.LANG_MARKERS],
+        TX.predict_lang(bound).alias("predicted"),
         "lang",
     )
     return out.withColumn(
@@ -1142,12 +1159,11 @@ def q_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters, not data); exact per-flag counts ride the same
     aggregation. ε=0.01, δ=0.01; the bound check uses 3ε·N so the row
     is deterministic at any realistic seed."""
+    from globallinks_spark.functions.sketches import count_min_sketch
+
     li = load(spark, sf_dir, "lineitem").persist()
     n = li.count()
-    # PySpark 4 dropped the Python stat wrappers for sketches; the JVM
-    # DataFrameStatFunctions still has them (org.apache.spark.util.sketch
-    # is public API) — same _jdf access plans/explain.py uses
-    cms = li._jdf.stat().countMinSketch("l_returnflag", 0.01, 0.99, 42)
+    cms = count_min_sketch(li, "l_returnflag", 0.01, 0.99, 42)
     exact = {
         r["l_returnflag"]: r["count"]
         for r in li.groupBy("l_returnflag").count().collect()
@@ -1189,8 +1205,9 @@ def q_bloom_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in li.select("l_partkey").distinct()
         .orderBy("l_partkey").limit(200).collect()
     ]
-    # JVM stat API — see q_cms_bound
-    bf = li._jdf.stat().bloomFilter("l_partkey", 300000, 0.03)
+    from globallinks_spark.functions.sketches import bloom_filter
+
+    bf = bloom_filter(li, "l_partkey", 300000, 0.03)
     present_ok = all(bf.mightContain(k) for k in parts)
     absent = [k + 100_000_000 for k in parts]
     fp = sum(1 for k in absent if bf.mightContain(k)) / len(absent)

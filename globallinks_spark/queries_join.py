@@ -78,9 +78,12 @@ LIMIT 10
 # predicate (TPC-H Q5 shape): supplier joins on BOTH l_suppkey and
 # "supplier nation = customer nation", the equality that can't be
 # pushed to any single scan. 100-TB plan: region/nation broadcast
-# (tiny), customer and supplier broadcast as dims; lineitem ⨝ orders
-# is the one key shuffle. The nation-equality lands as a post-join
-# filter on broadcast-joined columns — no extra shuffle.
+# (bounded at 5/25 rows, hint is safe); customer and supplier sizes
+# are data-dependent, so NO broadcast hint — AQE picks broadcast vs
+# shuffle join from measured sizes at runtime (a forced hint on a
+# 100-TB customer dim would OOM executors). lineitem ⨝ orders is the
+# one key shuffle. The nation-equality lands as a post-join filter on
+# joined columns — no extra shuffle.
 
 def q_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.lit("1997-01-01").cast("timestamp")
@@ -95,9 +98,9 @@ def q_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )
@@ -130,9 +133,11 @@ ORDER BY revenue DESC, n_name ASC
 # Q: large_orders — aggregate-then-join-back (TPC-H Q18 shape): the
 # HAVING subquery survives as a tiny frame that re-joins its own fact
 # table. 100-TB plan: the groupBy(l_orderkey) agg is one shuffle with
-# map-side partials; the surviving keys (sub-1% selectivity) broadcast
-# back into orders, and customer joins the already-tiny result — AQE
-# picks broadcast for both downstream joins at runtime.
+# map-side partials; the surviving-key frame's size is data-dependent
+# (HAVING selectivity varies with the corpus), so no broadcast hint —
+# AQE measures the post-agg frame at runtime and picks broadcast when
+# it fits, shuffle join when it doesn't (a forced hint would OOM
+# executors on a low-selectivity day).
 
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -144,7 +149,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__qsum") > 250)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",

@@ -1,0 +1,174 @@
+"""sf1 scaling probe: does every registry query scale ~linearly from
+sf0.1 to a 10× dataset?
+
+The driver ships sf0.001/0.01/0.1 only, so the probe DERIVES a 10×
+dataset from sf0.1 (never touching /root/testdata): each table is
+replicated ``factor`` times as an ISOMORPHIC copy with disjoint keys —
+
+- fact/dim keys shift by a per-replica offset (joins stay 1:1 with the
+  original fan-out; region/nation are fixed dims and stay canonical);
+- document words get a per-replica suffix (a bijective token renaming:
+  within-replica shingle/Jaccard structure is preserved EXACTLY,
+  cross-replica shingle intersection is empty — so near-dup pair
+  counts scale exactly ×factor, never quadratically);
+- embeddings get a per-replica deterministic sign-flip per dimension
+  (an orthogonal transform: within-replica inner products preserved
+  exactly, cross-replica cosines scrambled to ~0).
+
+That makes the probe a test of the ENGINE's scaling, not of
+accidentally denser data: a query whose sf1/sf0.1 wall-time ratio is
+far above ~10-12× has a superlinear plan.
+
+Usage:  python scaling_probe.py [factor] [out_json]
+Writes SCALING_SF1.json (per-query sf0.1/sf1 seconds + ratio) and
+prints a summary. The derived dataset lands in /tmp/sparklinks_sfX
+(regenerable, not part of the repo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+KEY_OFF = 10_000_000  # beyond every key domain in sf0.1
+
+
+def _replicate(spark: SparkSession, path: str, factor: int) -> DataFrame:
+    df = spark.read.parquet(path)
+    reps = spark.range(factor).withColumnRenamed("id", "__r")
+    return df.crossJoin(F.broadcast(reps))
+
+
+def _off(col: str) -> F.Column:
+    return (F.col(col) + F.col("__r") * F.lit(KEY_OFF)).alias(col)
+
+
+def build(spark: SparkSession, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+    plans: dict[str, list] = {
+        "customer": [_off("c_custkey"), "c_name", "c_nationkey",
+                     "c_acctbal", "c_mktsegment"],
+        "supplier": [_off("s_suppkey"), "s_name", "s_nationkey",
+                     "s_acctbal"],
+        "part": [_off("p_partkey"), "p_name", "p_brand", "p_type",
+                 "p_size", "p_retailprice"],
+        "orders": [_off("o_orderkey"), _off("o_custkey"), "o_orderstatus",
+                   "o_totalprice", "o_orderdate", "o_orderpriority"],
+        "lineitem": [_off("l_orderkey"), _off("l_partkey"),
+                     _off("l_suppkey"), "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+        "events": [_off("event_id"), "ts", _off("user_id"), "event_type",
+                   "value", "props"],
+    }
+    for t, cols in plans.items():
+        _replicate(spark, f"{SRC}/{t}.parquet", factor).select(
+            *cols
+        ).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+    # documents: bijective per-replica token renaming (w → w + 'x<r>'
+    # for r>0). Shingle sets map 1:1 within a replica, intersect empty
+    # across replicas.
+    docs = _replicate(spark, f"{SRC}/documents.parquet", factor)
+    renamed = F.when(F.col("__r") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("x"), F.col("__r")),
+            ),
+            " ",
+        )
+    )
+    docs.select(
+        _off("doc_id"), renamed.alias("text"), "lang", "source",
+        F.length(renamed).cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # embeddings: per-(replica, dim) deterministic sign flip — an
+    # orthogonal transform per replica (replica 0 is the identity)
+    emb = _replicate(spark, f"{SRC}/embeddings.parquet", factor)
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x * (F.lit(1) - F.lit(2)
+                 * F.pmod(F.hash(F.col("__r"), i), F.lit(2)))
+            .cast("float")
+        ),
+    )
+    emb.select(
+        _off("vec_id"),
+        F.when(F.col("__r") == 0, F.col("embedding"))
+        .otherwise(flipped).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALING_SF1.json"
+    big_dir = f"/tmp/sparklinks_sf{factor}x"
+
+    from globallinks_spark.queries import REGISTRY
+    from globallinks_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe")
+
+    if not os.path.exists(f"{big_dir}/_BUILT"):
+        t0 = time.perf_counter()
+        build(spark, big_dir, factor)
+        open(f"{big_dir}/_BUILT", "w").close()
+        print(f"# built {big_dir} in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    for name, spec in REGISTRY.items():
+        try:
+            spec.fn(spark, "/root/testdata/sf0.001").count()  # codegen warm
+            times = {}
+            for tag, d in (("sf0.1", SRC), (f"sf{factor}x", big_dir)):
+                best = float("inf")
+                for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    spec.fn(spark, d).count()
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                times[tag] = round(best, 3)
+            ratio = round(times[f"sf{factor}x"] / max(times["sf0.1"], 1e-9), 2)
+            results[name] = {**times, "ratio": ratio}
+            print(f"# {name}: {times['sf0.1']}s -> "
+                  f"{times[f'sf{factor}x']}s  ({ratio}x)", file=sys.stderr)
+        except Exception as exc:
+            results[name] = {"err": str(exc)[:200]}
+            print(f"# {name}: ERR {exc}", file=sys.stderr)
+
+    ok = {k: v for k, v in results.items() if "ratio" in v}
+    summary = {
+        "factor": factor,
+        "n_queries": len(results),
+        "worst": dict(sorted(ok.items(), key=lambda kv: -kv[1]["ratio"])[:5]),
+        "median_ratio": sorted(v["ratio"] for v in ok.values())[len(ok) // 2]
+        if ok else None,
+        "queries": results,
+    }
+    with open(out_json, "w", encoding="utf-8") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ("factor", "n_queries", "median_ratio", "worst")}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

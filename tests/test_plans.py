@@ -14,7 +14,7 @@ from globallinks_spark.plans.explain import (
     count_shuffles,
     plan_string,
 )
-from globallinks_spark.queries import REGISTRY
+from globallinks_spark.queries import FULL_REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
@@ -33,14 +33,14 @@ def spark_noaqe(spark):
 
 class TestScanEfficiency:
     def test_q1_prunes_columns(self, spark_noaqe):
-        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
         assert_read_schema_only(
             df, "l_quantity", "l_extendedprice", "l_discount", "l_tax",
             "l_returnflag", "l_linestatus",
         )
 
     def test_filter_pushdown_reaches_scan(self, spark_noaqe):
-        df = REGISTRY["api_query"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["api_query"].fn(spark_noaqe, SF)
         plan = plan_string(df)
         assert "PushedFilters" in plan
         assert "EqualTo(o_orderstatus,O)" in plan
@@ -54,7 +54,7 @@ class TestScanEfficiency:
 
 class TestJoinStrategy:
     def test_star_join_broadcasts_dims(self, spark_noaqe):
-        df = REGISTRY["join_enrich"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["join_enrich"].fn(spark_noaqe, SF)
         assert count_broadcast_joins(df) >= 3  # customer/nation/region
 
     def test_verification_has_no_row_explosion(self, spark_noaqe):
@@ -81,22 +81,22 @@ class TestJoinStrategy:
 
 class TestAggregationShape:
     def test_q1_single_shuffle(self, spark_noaqe):
-        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
         assert count_shuffles(df) == 1
 
     def test_q1_partial_aggregate(self, spark_noaqe):
-        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
         assert "partial_sum" in plan_string(df)  # map-side combine
 
     def test_compaction_reuses_partitioning(self, spark_noaqe):
         # window + groupBy on the same keys: one real exchange for the
         # data path (plus at most a tiny one Spark adds for the window
         # sort); never two full repartitions of the fact table
-        df = REGISTRY["compaction_merge"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["compaction_merge"].fn(spark_noaqe, SF)
         assert count_shuffles(df) <= 2
 
     def test_codegen_active(self, spark_noaqe):
-        df = REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["pricing_summary"].fn(spark_noaqe, SF)
         n = codegen_subtrees(df)
         assert n is not None and n >= 2
 
@@ -170,7 +170,7 @@ class TestWordsStagedOnce:
     def test_split_copies_bounded_by_scan_branches(
         self, spark_noaqe, name, branches
     ):
-        plan = plan_string(REGISTRY[name].fn(spark_noaqe, SF))
+        plan = plan_string(FULL_REGISTRY[name].fn(spark_noaqe, SF))
         assert plan.count("split(lower(") <= branches, (
             f"{name}: words(text) inlined into gram lambdas — "
             f"{plan.count('split(lower(')} copies for {branches} branches"
@@ -195,18 +195,18 @@ class TestRound3PlanShapes:
         ],
     )
     def test_shuffle_budget(self, spark_noaqe, name, max_shuffles):
-        df = REGISTRY[name].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY[name].fn(spark_noaqe, SF)
         n = count_shuffles(df)
         assert n <= max_shuffles, (
             f"{name}: {n} Exchanges (budget {max_shuffles})"
         )
 
     def test_bm25_broadcasts_df_and_scalars(self, spark_noaqe):
-        df = REGISTRY["bm25_search"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["bm25_search"].fn(spark_noaqe, SF)
         assert count_broadcast_joins(df) >= 2   # df table + corpus scalars
 
     def test_frame_sample_has_no_shuffle(self, spark_noaqe):
-        df = REGISTRY["frame_sample"].fn(spark_noaqe, SF)
+        df = FULL_REGISTRY["frame_sample"].fn(spark_noaqe, SF)
         assert count_shuffles(df) == 0
 
 

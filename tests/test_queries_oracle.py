@@ -1,6 +1,8 @@
-"""Local replica of the driver's DuckDB-oracle gate: run every REGISTRY
-query through Spark AND DuckDB at sf0.001 and compare row count, column
-names, and order-insensitive values."""
+"""Local replica of the driver's DuckDB-oracle gate: run every
+FULL_REGISTRY query (every individual operator query PLUS the
+consolidated 50-entry driver registry, see queries_suites.py) through
+Spark AND DuckDB at sf0.001 and compare row count, column names, and
+order-insensitive values."""
 
 from __future__ import annotations
 
@@ -9,7 +11,8 @@ import math
 import duckdb
 import pytest
 
-from globallinks_spark.queries import REGISTRY, TABLES
+from globallinks_spark.queries import FULL_REGISTRY as REGISTRY
+from globallinks_spark.queries import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -51,7 +54,7 @@ def test_query_matches_oracle(spark, ddb, name):
     spec = REGISTRY[name]
     got = spec.fn(spark, SF_DIR).toPandas()
     if spec.oracle is None:
-        if name == "approx_profile":
+        if name == "approx_profile_raw":
             # sketches are engine-specific; bound them against exact counts
             exact_parts = ddb.sql(
                 "SELECT count(DISTINCT l_partkey) FROM lineitem"

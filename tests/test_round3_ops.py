@@ -340,9 +340,9 @@ class TestEventAnomaly:
     def test_spike_flagged_warmup_rows_null(self, spark):
         import datetime as dt
 
-        from globallinks_spark.queries import REGISTRY
+        from globallinks_spark.queries import FULL_REGISTRY
 
-        q_event_anomaly = REGISTRY["event_anomaly"].fn
+        q_event_anomaly = FULL_REGISTRY["event_anomaly"].fn
 
         # build a parquet events dir so the query's load() path works
         t0 = dt.datetime(2024, 1, 1)

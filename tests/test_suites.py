@@ -1,0 +1,96 @@
+"""Invariants for the consolidated driver registry (queries_suites.py):
+the 50-entry cap contract, full capability coverage, and the pinned
+checksum column specs staying in sync with the live sub-query schemas.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from globallinks_spark.queries import FULL_REGISTRY, REGISTRY
+from globallinks_spark.queries_suites import CHECKSUM_SUITES, _LONG_FORM
+
+SF = "/root/testdata/sf0.001"
+
+# spark simpleString → checksum kind (mirror of queries_suites._spark_kind)
+_DTYPE_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+
+class TestRegistryShape:
+    def test_exactly_fifty_driver_entries(self):
+        # the driver records at most 50 correctness rows per round
+        # (r01: 35/35, r02: 48/48, r03: first-50-of-84); every slot must
+        # be both used and oracle-checked
+        assert len(REGISTRY) == 50
+
+    def test_every_driver_entry_has_an_oracle(self):
+        assert [k for k, v in REGISTRY.items() if v.oracle is None] == []
+
+    def test_full_registry_superset(self):
+        # every driver entry resolves in the full catalog too
+        assert set(REGISTRY) <= set(FULL_REGISTRY)
+
+    def test_all_individual_operators_still_cataloged(self):
+        # spot the capability list: every sub-query folded into a suite
+        # must stay individually runnable (and oracle-checked by
+        # test_queries_oracle.py) under FULL_REGISTRY
+        folded = [
+            tag for members in CHECKSUM_SUITES.values()
+            for tag, _ in members
+        ] + [
+            src for members in _LONG_FORM.values()
+            for src, _, _ in members
+        ]
+        missing = [t for t in folded if t not in FULL_REGISTRY]
+        assert missing == []
+
+
+class TestChecksumSpecsMatchLiveSchemas:
+    @pytest.mark.parametrize("suite", sorted(CHECKSUM_SUITES))
+    def test_pinned_columns_match(self, spark, suite):
+        # a sub-query schema change must fail HERE (loudly), not ship a
+        # checksum computed over stale column/kind pairs
+        for tag, cols in CHECKSUM_SUITES[suite]:
+            df = FULL_REGISTRY[tag].fn(spark, SF)
+            live = [
+                (f.name, _DTYPE_KIND.get(f.dataType.simpleString()))
+                for f in df.schema.fields
+            ]
+            assert live == list(cols), (
+                f"{suite}/{tag}: pinned {cols} vs live {live}"
+            )
+
+
+class TestChecksumSensitivity:
+    def test_value_change_flips_chk(self, spark):
+        # the checksum must move when any cell moves — drop a row,
+        # change a value, null a column: all three shift (n_rows, nn,
+        # chk) away from the baseline
+        from pyspark.sql import functions as F
+
+        from globallinks_spark.queries_suites import checksum_frame
+
+        cols = [("k", "int"), ("v", "float"), ("s", "str")]
+        base = spark.createDataFrame(
+            [(1, 1.5, "ab"), (2, 2.5, "cde")], "k long, v double, s string"
+        )
+        ref = checksum_frame(base, "t", cols).collect()[0]
+
+        fewer = checksum_frame(base.limit(1), "t", cols).collect()[0]
+        assert fewer["n_rows"] != ref["n_rows"]
+
+        moved = checksum_frame(
+            base.withColumn("v", F.col("v") + 0.25), "t", cols
+        ).collect()[0]
+        assert moved["chk"] != ref["chk"]
+        assert moved["n_rows"] == ref["n_rows"]
+
+        nulled = checksum_frame(
+            base.withColumn("s", F.lit(None).cast("string")), "t", cols
+        ).collect()[0]
+        assert nulled["nn"] != ref["nn"]

@@ -85,9 +85,9 @@ class TestRepetitionProfile:
     def test_dominated_doc_scores_high(self, spark):
         # go through REGISTRY (queries imports queries_ext lazily; a direct
         # queries_ext import from a test can hit the half-initialized module)
-        from globallinks_spark.queries import REGISTRY
+        from globallinks_spark.queries import FULL_REGISTRY
 
-        q_repetition_profile = REGISTRY["repetition_profile"].fn
+        q_repetition_profile = FULL_REGISTRY["repetition_profile_core"].fn
 
         # build a fixture-shaped frame and monkey-load via temp parquet
         import os
