@@ -116,14 +116,34 @@ def _gram_indexes(words_col: Column, k: int) -> Column:
 
 def shingles(words_col: Column, k: int = 3) -> Column:
     """array<string> of space-joined k-grams (distinct). Short docs yield
-    an empty array (see :func:`_gram_indexes`), matching the oracle's
-    ``range`` semantics.
+    an empty array, matching the oracle's ``range`` semantics.
+
+    Built by zipping the word array with its own k−1 shifted slices —
+    NOT by ``transform(indexes, i -> element_at(words, i+off))``. The
+    index form embeds ``words_col`` in the lambda body, and higher-order
+    functions evaluate interpreted (no codegen subexpression
+    elimination), so when the caller passes a derived expression like
+    ``split(lower(text))`` it re-tokenizes the WHOLE document once per
+    element_at — 3·n_grams splits per row (measured 11.1 s to shingle
+    5,000 sf0.1 docs; 0.4 s in this form). The zip form references
+    ``words_col`` k+1 times per ROW, independent of gram count.
+
+    ``zip_with`` pads the shorter array with nulls and ``concat``
+    propagates them, so the k−1 tail entries of the zipped array are
+    null exactly where a full k-gram doesn't exist — the filter drops
+    them (and only them; in-range grams are never null).
     """
-    idx = _gram_indexes(words_col, k)
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(words_col, i + off) for off in range(k)]
-    )
-    return F.array_distinct(F.transform(idx, gram))
+    g = words_col
+    for off in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(
+                words_col, off + 1,
+                F.greatest(F.size(words_col) - off, F.lit(0)),
+            ),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(F.filter(g, lambda x: x.isNotNull()))
 
 
 def shingles_sql(words_expr: str, k: int = 3) -> str:

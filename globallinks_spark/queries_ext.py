@@ -1090,12 +1090,27 @@ def q_approx_profile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates themselves stay out of the output on purpose: they are the
     one engine-specific value, and the contract is what's checkable."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # two exact countDistinct in ONE Aggregate would go through Expand
+    # (input tripled, hashed once per grouping set — measured 4.4 s at
+    # sf0.1 under full materialization). Instead: one single-pass scan
+    # for the HLL sketches + row count, and a partial-distinct
+    # aggregation per key column (map-side combine, only distinct keys
+    # shuffle); the three 1-row frames broadcast-crossJoin back.
+    sketch = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact_parts = (
+        li.select("l_partkey").distinct()
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    exact_orders = (
+        li.select("l_orderkey").distinct()
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    agg = sketch.crossJoin(F.broadcast(exact_parts)).crossJoin(
+        F.broadcast(exact_orders)
     )
     return agg.select(
         "n_rows", "exact_parts", "exact_orders",
@@ -1116,28 +1131,35 @@ def q_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     acc = 1000
     eps = 2.0 / acc
-    exprs = []
-    for p, tag in ((0.5, "p50"), (0.95, "p95")):
-        exprs += [
-            F.expr(
-                f"approx_percentile(l_extendedprice, {p}, {acc})"
-            ).alias(f"a_{tag}"),
-            F.expr(
-                f"percentile(l_extendedprice, {max(p - eps, 0.0)})"
-            ).alias(f"lo_{tag}"),
-            F.expr(
-                f"percentile(l_extendedprice, {min(p + eps, 1.0)})"
-            ).alias(f"hi_{tag}"),
-            F.expr(f"percentile(l_extendedprice, {p})").alias(f"x_{tag}"),
-        ]
-    agg = li.agg(*exprs)
+    # ONE exact-percentile aggregate over an array of percentages, not
+    # six scalar ones: percentile's TypedImperativeAggregate buffers the
+    # whole value multiset per aggregate instance, so six instances paid
+    # 6× the buffer build/merge/sort (measured 10.9 s vs 3.3 s at sf0.1
+    # under full materialization). Same numbers, one buffer.
+    pcts = [max(0.5 - eps, 0.0), 0.5, min(0.5 + eps, 1.0),
+            max(0.95 - eps, 0.0), 0.95, min(0.95 + eps, 1.0)]
+    agg = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, "
+            f"array({', '.join(str(p) for p in pcts)}))"
+        ).alias("xs"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5, 0.95), {acc})"
+        ).alias("asketch"),
+    )
+    x = {  # xs = [lo_p50, p50, hi_p50, lo_p95, p95, hi_p95]
+        "lo_p50": F.col("xs")[0], "x_p50": F.col("xs")[1],
+        "hi_p50": F.col("xs")[2], "lo_p95": F.col("xs")[3],
+        "x_p95": F.col("xs")[4], "hi_p95": F.col("xs")[5],
+        "a_p50": F.col("asketch")[0], "a_p95": F.col("asketch")[1],
+    }
     return agg.select(
-        F.round("x_p50", 2).alias("exact_p50"),
-        F.round("x_p95", 2).alias("exact_p95"),
-        ((F.col("a_p50") >= F.col("lo_p50"))
-         & (F.col("a_p50") <= F.col("hi_p50"))).alias("p50_within_bound"),
-        ((F.col("a_p95") >= F.col("lo_p95"))
-         & (F.col("a_p95") <= F.col("hi_p95"))).alias("p95_within_bound"),
+        F.round(x["x_p50"], 2).alias("exact_p50"),
+        F.round(x["x_p95"], 2).alias("exact_p95"),
+        ((x["a_p50"] >= x["lo_p50"])
+         & (x["a_p50"] <= x["hi_p50"])).alias("p50_within_bound"),
+        ((x["a_p95"] >= x["lo_p95"])
+         & (x["a_p95"] <= x["hi_p95"])).alias("p95_within_bound"),
     )
 
 

@@ -70,13 +70,28 @@ def build(spark: SparkSession, out_dir: str, factor: int) -> None:
                      _off("l_suppkey"), "l_linenumber", "l_quantity",
                      "l_extendedprice", "l_discount", "l_tax",
                      "l_returnflag", "l_linestatus", "l_shipdate"],
-        "events": [_off("event_id"), "ts", _off("user_id"), "event_type",
-                   "value", "props"],
     }
     for t, cols in plans.items():
         _replicate(spark, f"{SRC}/{t}.parquet", factor).select(
             *cols
         ).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+    # events: each replica shifts uniformly past the previous one —
+    # keeping timestamps unshifted would DENSIFY the event stream ×
+    # factor (every time-window query's per-window row count grows ×
+    # factor and window-pair counts ×factor², a quadratic workload the
+    # engine is then blamed for). A uniform shift preserves per-user
+    # gaps/sessions and global density exactly.
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_sec = int((hi - lo).total_seconds()) + 3600
+    _replicate(spark, f"{SRC}/events.parquet", factor).select(
+        _off("event_id"),
+        (F.col("ts") + F.make_interval(
+            secs=F.col("__r").cast("double") * span_sec
+        )).alias("ts"),
+        _off("user_id"), "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     # documents: bijective per-replica token renaming (w → w + 'x<r>'
     # for r>0). Shingle sets map 1:1 within a replica, intersect empty
@@ -135,14 +150,18 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name, spec in REGISTRY.items():
         try:
-            spec.fn(spark, "/root/testdata/sf0.001").count()  # codegen warm
+            # noop sink = full-column materialization (count() lets
+            # ColumnPruning skip aggregate functions — see bench.py)
+            spec.fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop").mode("overwrite").save()  # codegen warm
             times = {}
             for tag, d in (("sf0.1", SRC), (f"sf{factor}x", big_dir)):
                 best = float("inf")
                 for _ in range(2):
                     spark.sparkContext._jvm.System.gc()
                     t0 = time.perf_counter()
-                    spec.fn(spark, d).count()
+                    spec.fn(spark, d).write.format("noop").mode(
+                        "overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                     spark.catalog.clearCache()
                 times[tag] = round(best, 3)

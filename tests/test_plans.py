@@ -243,3 +243,50 @@ class TestRuntimeBloomJoinPruning:
                 "spark.sql.optimizer.runtime.bloomFilter"
                 ".applicationSideScanSizeThreshold", prev_scan)
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+class TestRound4PlanShapes:
+    def test_approx_profile_bound_has_no_expand(self, spark_noaqe):
+        """Two exact countDistinct in one Aggregate go through Expand
+        (input tripled, hashed per grouping set — measured 4.4 s vs
+        1.5 s at sf0.1). The rewrite runs one HLL pass plus a partial
+        distinct per key column; a regression that reintroduces the
+        single-Aggregate form shows up as an Expand node here."""
+        from globallinks_spark.queries import FULL_REGISTRY
+
+        df = FULL_REGISTRY["approx_profile_bound"].fn(spark_noaqe, SF)
+        plan = plan_string(df)
+        assert "Expand" not in plan, "countDistinct Expand reappeared"
+
+    def test_quantiles_bound_single_percentile_buffer(self, spark_noaqe):
+        """The rank-error contract needs six exact percentiles; six
+        scalar percentile() aggregates each buffer the whole value
+        multiset (measured 10.9 s vs 3.3 s at sf0.1). Pin the
+        one-array-aggregate form: exactly one percentile(...) in the
+        optimized plan."""
+        from globallinks_spark.queries import FULL_REGISTRY
+
+        df = FULL_REGISTRY["approx_quantiles_bound"].fn(spark_noaqe, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("percentile(") == 2, (  # 1 exact + 1 approx
+            f"expected one exact + one approx percentile aggregate:\n{plan}"
+        )
+
+    def test_lang_id_scores_bound_once(self, spark_noaqe):
+        """Each per-language score must appear ONCE as a bound attribute
+        — the argmax CASE chain otherwise inlines the array-filter tree
+        ~2·(n_langs-1) times per language (measured ~160 array scans per
+        row at 10 languages)."""
+        from globallinks_spark.functions import text as TX
+        from globallinks_spark.queries import FULL_REGISTRY
+
+        df = FULL_REGISTRY["lang_id"].fn(spark_noaqe, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # each space-written language contributes exactly one
+        # filter(...) evaluation (zh scores by regexp on raw text), plus
+        # one for the empty-token filter inside the bound words() array
+        n_word_langs = len(TX.LANG_MARKERS) - len(TX.CHAR_LANGS)
+        assert plan.count("filter(") <= n_word_langs + 1, (
+            f"{plan.count('filter(')} filter() copies for "
+            f"{n_word_langs} word-scored languages"
+        )
