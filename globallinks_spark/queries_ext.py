@@ -1021,11 +1021,21 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    # ONE percentile aggregate over an array of percentages per group —
+    # four scalar percentile() instances would each buffer the group's
+    # whole value multiset (the approx_quantiles_bound lesson; 4× the
+    # buffer build/merge/sort for identical output)
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+        ).alias("ps")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ps")[0], 4).alias("p25"),
+        F.round(F.col("ps")[1], 4).alias("p50"),
+        F.round(F.col("ps")[2], 4).alias("p75"),
+        F.round(F.col("ps")[3], 4).alias("p99"),
     )
 
 
@@ -1183,14 +1193,16 @@ def q_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic at any realistic seed."""
     from globallinks_spark.functions.sketches import count_min_sketch
 
-    li = load(spark, sf_dir, "lineitem").persist()
-    n = li.count()
-    cms = count_min_sketch(li, "l_returnflag", 0.01, 0.99, 42)
+    # two passes over ONE pruned parquet column (cheaper than persisting
+    # full rows): the groupBy supplies both the exact counts and n, the
+    # sketch build is the second scan
+    flags = load(spark, sf_dir, "lineitem").select("l_returnflag")
     exact = {
         r["l_returnflag"]: r["count"]
-        for r in li.groupBy("l_returnflag").count().collect()
+        for r in flags.groupBy("l_returnflag").count().collect()
     }
-    li.unpersist()
+    n = sum(exact.values())
+    cms = count_min_sketch(flags, "l_returnflag", 0.01, 0.99, 42)
     rows = []
     for flag in sorted(exact):
         est = cms.estimateCount(flag)
@@ -1221,15 +1233,14 @@ def q_bloom_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filter is a bounded driver-side bit array; the probe sets are
     deterministic (first 200 real part keys; 200 keys offset past the
     key domain)."""
-    li = load(spark, sf_dir, "lineitem")
+    keys = load(spark, sf_dir, "lineitem").select("l_partkey")
     parts = [
         r.l_partkey
-        for r in li.select("l_partkey").distinct()
-        .orderBy("l_partkey").limit(200).collect()
+        for r in keys.distinct().orderBy("l_partkey").limit(200).collect()
     ]
     from globallinks_spark.functions.sketches import bloom_filter
 
-    bf = bloom_filter(li, "l_partkey", 300000, 0.03)
+    bf = bloom_filter(keys, "l_partkey", 300000, 0.03)
     present_ok = all(bf.mightContain(k) for k in parts)
     absent = [k + 100_000_000 for k in parts]
     fp = sum(1 for k in absent if bf.mightContain(k)) / len(absent)
