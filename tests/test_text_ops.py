@@ -171,3 +171,46 @@ class TestLangId:
 
         with pytest.raises(ValueError, match="raw text"):
             TX.lang_score(F.lit(None), "zh")
+
+
+class TestShinglesZipForm:
+    """The zip-with-shifted-slices shingle builder (round 4; the index/
+    element_at form re-tokenized the document per gram under interpreted
+    HOF evaluation) must agree with a plain-Python brute force on
+    arbitrary text — including multi-whitespace runs, docs shorter than
+    k, duplicate grams, and unicode."""
+
+    def test_matches_python_brute_force(self, spark):
+        import pyspark.sql.functions as F
+
+        from globallinks_spark.functions import text as TX
+
+        cases = [
+            "", " ", "one", "one two", "one two three",
+            "a b c d e", "a  b\tc\nd",     # whitespace runs
+            "x y x y x y",                   # duplicate grams
+            "Ä ö Ü ß é 漢 字 かな",           # unicode tokens
+            "a " * 50,                       # one gram repeated
+            "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        ]
+
+        def brute(text, k=3):
+            ws = [w for w in text.lower().split() if w]
+            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+            out, seen = [], set()
+            for g in grams:            # distinct, first-occurrence order
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                                   "i long, text string")
+        got = {
+            r["i"]: r["s"]
+            for r in df.select(
+                "i", TX.shingles(TX.words(F.col("text"))).alias("s")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == brute(c), f"case {i!r}: {c!r}"
