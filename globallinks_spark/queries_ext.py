@@ -841,6 +841,34 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate (the dedup_eval pattern for similarity search):
+    recall@10 of the IVF probe against the exact brute-force cosine
+    top-10 for the same query vector. Both sides are deterministic, so
+    the recall is oracle-reproducible — a broken IVF assignment, probe
+    order, or centroid update moves n_common and fails the hash."""
+    ivf = q_ann_ivf(spark, sf_dir).select("vec_id")
+    brute = q_embedding_cosine_topk(spark, sf_dir).select("vec_id")
+    agg = ivf.join(brute, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return agg.select(
+        F.lit(10).alias("k"),
+        "n_common",
+        F.round(F.col("n_common") / 10.0, 4).alias("recall"),
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+SELECT 10 AS k, count(*) AS n_common,
+       round(count(*) / 10.0, 4) AS recall
+FROM (SELECT vec_id FROM ({_sql_ann_ivf()}) __i) a
+JOIN (SELECT vec_id FROM ({SQL_EMBEDDING_COSINE_TOPK}) __b) b
+  USING (vec_id)
+"""
+
+
 def _ivf_cte_prefix(n_cells: int = 16) -> str:
     """WITH-chain replaying build_ivf_index(n_cells, iterations=2) up to
     ``af`` (the final per-vector cell assignment). Shared by the ann_ivf
@@ -2636,6 +2664,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "cms_bound": QuerySpec(q_cms_bound, SQL_CMS_BOUND),
     "bloom_bound": QuerySpec(q_bloom_bound, SQL_BLOOM_BOUND),
     "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
+    "ann_recall": QuerySpec(q_ann_recall, _sql_ann_recall()),
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
     "domain_cap": QuerySpec(q_domain_cap, _sql_domain_cap()),
     "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),

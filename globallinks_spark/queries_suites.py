@@ -200,6 +200,8 @@ CHECKSUM_SUITES: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
         ("mix_resample", [
             ("lang", "str"), ("n_docs", "int"), ("rate_bp", "int"),
             ("n_kept", "int")]),
+        ("ann_recall", [
+            ("k", "int"), ("n_common", "int"), ("recall", "float")]),
     ],
     # set ops / pivot / salted skewed distinct / range join
     "relational_suite": [
