@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from globallinks_spark.functions import hashing as H
 from globallinks_spark.functions import text as TX
 from globallinks_spark.functions import vectors as V
-from globallinks_spark.queries_base import QuerySpec, load
+from globallinks_spark.queries_base import QuerySpec, _dec, _round2, load
 
 # Shared oracle CTE: documents → words → distinct 3-gram shingles → H30
 # hashes (mirrors operators.dedup.with_shingle_hashes).
@@ -839,6 +839,55 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
+
+
+def q_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 serving-table round trip, oracle-shaped: link-shaped rows
+    derived from orders go through write_serving_table (hash-bucketed
+    partitionBy layout + salted writers) and come back through
+    read_serving_table's partition-pruned domain probe. The oracle
+    replays the same derivation + filter directly over orders — so a
+    bucketing/pruning bug that drops or duplicates rows (wrong modulus,
+    bucket column leaking into output, prune-to-wrong-directory) fails
+    the hash, not just a pytest. The write lands under /tmp (overwritten
+    per call, per sf)."""
+    import os
+
+    from globallinks_spark.sources.serving import (
+        read_serving_table,
+        write_serving_table,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    links = o.select(
+        F.concat(
+            F.lit("d"), (F.col("o_custkey") % 97).cast("string"),
+            F.lit(".com"),
+        ).alias("link_domain"),
+        F.lit("www").alias("link_sub_domain"),
+        F.concat(F.lit("/p/"), F.col("o_orderkey").cast("string"))
+        .alias("link_path"),
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 31).cast("string"),
+            F.lit(".example.org"),
+        ).alias("page_host"),
+        _round2(_dec("o_totalprice")).alias("value"),
+    )
+    path = os.path.join(
+        "/tmp", f"gl_serving_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_serving_table(links, path, buckets=16)
+    return read_serving_table(spark, path, domain="d42.com")
+
+
+SQL_SERVING_ROUNDTRIP = """
+SELECT 'd42.com' AS link_domain,
+       'www' AS link_sub_domain,
+       '/p/' || CAST(o_orderkey AS VARCHAR) AS link_path,
+       'h' || CAST(o_custkey % 31 AS VARCHAR) || '.example.org' AS page_host,
+       round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 2) AS value
+FROM orders WHERE o_custkey % 97 = 42
+"""
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2665,6 +2714,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "bloom_bound": QuerySpec(q_bloom_bound, SQL_BLOOM_BOUND),
     "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
     "ann_recall": QuerySpec(q_ann_recall, _sql_ann_recall()),
+    "serving_roundtrip": QuerySpec(q_serving_roundtrip, SQL_SERVING_ROUNDTRIP),
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
     "domain_cap": QuerySpec(q_domain_cap, _sql_domain_cap()),
     "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),

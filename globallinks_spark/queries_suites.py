@@ -214,6 +214,10 @@ CHECKSUM_SUITES: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
         ("range_join", [
             ("event_id", "int"), ("n_prior", "int"),
             ("prior_value", "float")]),
+        ("serving_roundtrip", [
+            ("link_domain", "str"), ("link_sub_domain", "str"),
+            ("link_path", "str"), ("page_host", "str"),
+            ("value", "float")]),
     ],
 }
 
