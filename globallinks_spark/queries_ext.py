@@ -890,6 +890,57 @@ FROM orders WHERE o_custkey % 97 = 42
 """
 
 
+def q_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sink round trip, oracle-shaped (the
+    serving_roundtrip pattern for sources/corpus_sink.py): documents
+    get a deterministic split, go through write_training_shards
+    ((split, shard) partitionBy + keyed-hash shard ids), and the
+    returned frame re-aggregates (n_docs, n_tokens) per shard FROM THE
+    READBACK of the pruned train subtree. The oracle re-derives split,
+    shard (same md5 kernel), and BPE token counts directly over
+    documents — a shard-assignment or partition-layout bug changes the
+    readback aggregation and fails the hash."""
+    import os
+
+    from globallinks_spark.sources.corpus_sink import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    path = os.path.join(
+        "/tmp", f"gl_shard_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_training_shards(d.withColumn("split", split), path, n_shards=16)
+    back = read_training_shards(spark, path, split="train")
+    return back.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.bpe_token_count(F.col("text"))).cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def _sql_shard_roundtrip() -> str:
+    shard = H.h60_sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % 10 < 8 THEN 'train'
+         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+    CAST(({shard}) % 16 AS INT) AS shard
+  FROM documents
+)
+SELECT split, shard, count(*) AS n_docs,
+       CAST(sum({TX.bpe_token_count_sql('text')}) AS BIGINT) AS n_tokens
+FROM s WHERE split = 'train' GROUP BY 1, 2
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate (the dedup_eval pattern for similarity search):
     recall@10 of the IVF probe against the exact brute-force cosine
@@ -2715,6 +2766,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "ann_ivf": QuerySpec(q_ann_ivf, _sql_ann_ivf()),
     "ann_recall": QuerySpec(q_ann_recall, _sql_ann_recall()),
     "serving_roundtrip": QuerySpec(q_serving_roundtrip, SQL_SERVING_ROUNDTRIP),
+    "shard_roundtrip": QuerySpec(q_shard_roundtrip, _sql_shard_roundtrip()),
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
     "domain_cap": QuerySpec(q_domain_cap, _sql_domain_cap()),
     "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),

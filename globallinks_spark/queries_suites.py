@@ -164,6 +164,9 @@ CHECKSUM_SUITES: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
         ("span_dedup_rewrite", [
             ("doc_id", "int"), ("n_tokens", "int"), ("n_removed", "int"),
             ("cleaned_text", "str")]),
+        ("shard_roundtrip", [
+            ("split", "str"), ("shard", "int"), ("n_docs", "int"),
+            ("n_tokens", "int")]),
     ],
     # event-table analytics: gap fill, anomaly z-scores, session windows,
     # stream-stream purchase attribution (batch-replay form)
