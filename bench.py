@@ -129,6 +129,27 @@ def main() -> None:
         except Exception as exc:
             print(f"# extract bench failed: {exc}", file=sys.stderr)
 
+    # member-level attribution for the folded suite entries —
+    # SPARK_GRAFT_MEMBER_DETAIL=1 times each underlying FULL_REGISTRY
+    # query separately (adds ~1-2 min; off by default so the driver's
+    # run stays inside its window)
+    members: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_MEMBER_DETAIL", "0") == "1":
+        from globallinks_spark.queries import FULL_REGISTRY
+        from globallinks_spark.queries_suites import suite_members
+
+        for suite, names in suite_members().items():
+            members[suite] = {}
+            for m in names:
+                best = float("inf")
+                for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    _materialize(FULL_REGISTRY[m].fn(spark, sf_dir))
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                members[suite][m] = round(best, 3)
+
     detail = {
         "sf": sf,
         "sf_dir": sf_dir,
@@ -141,6 +162,8 @@ def main() -> None:
         "registry": "driver REGISTRY (50 consolidated entries; see "
                     "queries_suites.py for the suite → operator fold)",
     }
+    if members:
+        detail["suite_members_sec"] = members
     if extract is not None:
         detail["extract"] = extract
     try:

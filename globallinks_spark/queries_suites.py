@@ -446,6 +446,31 @@ JOIN ({base["simhash_fingerprint"].oracle}) b ON a.doc_id = b.doc_id
 # ---------------------------------------------------------------------------
 # assembly
 
+def suite_members() -> dict[str, list[str]]:
+    """driver-entry → FULL_REGISTRY member names for every folded
+    entry (checksum suites, long-form unions, tagged unions, wide
+    joins). Used by bench.py's member-detail mode so suite timings
+    stay attributable to individual operators."""
+    out: dict[str, list[str]] = {
+        name: [tag for tag, _ in members]
+        for name, members in CHECKSUM_SUITES.items()
+    }
+    out.update({
+        name: [src for src, _, _ in members]
+        for name, members in _LONG_FORM.items()
+    })
+    out["ann_lsh_suite"] = [
+        "ann_sign_lsh", "ann_multiprobe", "ann_random_projection"]
+    out["multimodal_suite"] = ["multimodal_meta", "frame_sample"]
+    out["rollup_cube_revenue"] = ["rollup_revenue", "cube_revenue"]
+    out["text_quality"] = [
+        "text_quality_core", "quality_classifier", "bigram_lm_score"]
+    out["repetition_profile"] = [
+        "repetition_profile_core", "dup_span_profile"]
+    out["doc_fingerprint"] = ["doc_fingerprint_core", "simhash_fingerprint"]
+    return out
+
+
 # the 30 entries whose content is byte-identical to their r03
 # driver-green run — checked last (their rows are already proven)
 _UNCHANGED_TAIL = [
