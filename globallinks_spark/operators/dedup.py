@@ -175,7 +175,8 @@ def exact_jaccard(shingled_a: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, threshold: float = 0.5, k: int = 3
+    docs: DataFrame, threshold: float = 0.5, k: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥
     threshold. The full minhash→band→bucket-join→verify pipeline.
@@ -184,9 +185,14 @@ def minhash_dedup_pairs(
     branch (which itself self-joins), so it is persisted — without it the
     tokenize+md5 scan re-executes once per downstream join leg (~6× work;
     measured 4.7× slower at sf0.1). At warehouse scale this persist
-    becomes a materialized shingle table."""
-    shingled = with_shingle_hashes(docs, k=k).persist()
-    shingled.count()  # materialization barrier — see exact_jaccard
+    becomes a materialized shingle table. Callers that run SEVERAL dedup
+    pipelines over the same corpus (dedup_eval: LSH + exact ground
+    truth) pass that table in via ``shingled`` — a with_shingle_hashes
+    frame the CALLER has persisted and materialized — so the corpus is
+    tokenized+hashed once, not once per pipeline."""
+    if shingled is None:
+        shingled = with_shingle_hashes(docs, k=k).persist()
+        shingled.count()  # materialization barrier — see exact_jaccard
     # size filter sits ABOVE the cache barrier so it can't push down into
     # the expensive hash scan (see with_shingle_hashes)
     shingled = shingled.filter(F.size("hashes") > 0)
@@ -252,7 +258,8 @@ def minhash_dedup_pairs_incremental(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, k: int = 3
+    docs: DataFrame, threshold: float = 0.5, k: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold — the ground truth LSH
     is measured against — via prefix filtering (SSJoin/PPJoin family:
@@ -267,9 +274,12 @@ def ngram_jaccard_pairs(
     (1-t)² smaller than the full index at t=0.5; measured 17 s → 6 s at
     sf0.1); exact Jaccard over the FULL sets then keeps results
     identical to the naive all-pairs join — the DuckDB oracle for this
-    operator remains the naive form."""
-    shingled = with_shingle_hashes(docs, k=k).persist()
-    shingled.count()  # materialization barrier — see exact_jaccard
+    operator remains the naive form. ``shingled`` shares a
+    caller-persisted with_shingle_hashes frame across pipelines (see
+    minhash_dedup_pairs)."""
+    if shingled is None:
+        shingled = with_shingle_hashes(docs, k=k).persist()
+        shingled.count()  # materialization barrier — see exact_jaccard
     shingled = shingled.filter(F.size("hashes") > 0)
 
     # Prefix ordering is by ASCENDING document frequency (PPJoin's

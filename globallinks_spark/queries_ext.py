@@ -2179,13 +2179,18 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.dedup import (
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
+        with_shingle_hashes,
     )
 
     d = load(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(d, threshold=0.5).select(
+    # ONE shingle table feeds both pipelines — each would otherwise
+    # tokenize+md5 the corpus into its own persisted copy
+    sh = with_shingle_hashes(d).persist()
+    sh.count()
+    truth = ngram_jaccard_pairs(d, threshold=0.5, shingled=sh).select(
         "doc_a", "doc_b", F.lit(True).alias("in_t")
     )
-    lsh = minhash_dedup_pairs(d, threshold=0.5).select(
+    lsh = minhash_dedup_pairs(d, threshold=0.5, shingled=sh).select(
         "doc_a", "doc_b", F.lit(True).alias("in_l")
     )
     # ONE full-outer join + ONE aggregation — each pair pipeline's
