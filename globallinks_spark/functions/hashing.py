@@ -95,6 +95,18 @@ def h30(col: Column) -> Column:
     return h60(col) % F.lit(H30_MOD)
 
 
+def md5_h30(col: Column) -> Column:
+    """Kernel-INDEPENDENT H30 — always md5, regardless of
+    :func:`use_kernel`. The checksum contract in queries_suites.py and
+    any other cross-engine verification path must stay replayable in
+    DuckDB (via :func:`h30_sql`, which is likewise md5-only) even when
+    the production kernel is switched to xxhash64."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+        % F.lit(H30_MOD)
+    )
+
+
 def h60_sql(expr: str) -> str:
     """DuckDB rendering of ``h60`` for oracle SQL."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

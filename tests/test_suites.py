@@ -94,3 +94,58 @@ class TestChecksumSensitivity:
             base.withColumn("s", F.lit(None).cast("string")), "t", cols
         ).collect()[0]
         assert nulled["nn"] != ref["nn"]
+
+    def test_same_length_string_mutation_flips_chk(self, spark):
+        # the r04 gap: length-based string checksums passed same-length
+        # corruptions. The md5-H30 content hash must flip chk for a
+        # 1-char mutation that preserves length (and leaves n_rows/nn
+        # untouched, so chk is the ONLY line of defense here).
+        from pyspark.sql import functions as F
+
+        from globallinks_spark.queries_suites import checksum_frame
+
+        cols = [("k", "int"), ("s", "str")]
+        base = spark.createDataFrame(
+            [(1, "abcdef"), (2, "ghijkl")], "k long, s string"
+        )
+        ref = checksum_frame(base, "t", cols).collect()[0]
+        mutated = checksum_frame(
+            base.withColumn(
+                "s", F.when(F.col("k") == 1, F.lit("abcdeX"))
+                .otherwise(F.col("s"))
+            ),
+            "t", cols,
+        ).collect()[0]
+        assert mutated["n_rows"] == ref["n_rows"]
+        assert mutated["nn"] == ref["nn"]
+        assert mutated["chk"] != ref["chk"]
+
+    def test_chk_is_exact_integer_cross_engine(self, spark):
+        # chk must be an exact BIGINT on both engines — no double
+        # rounding anywhere (a hundredths tie like 4.975 rounds
+        # differently in Spark vs DuckDB). Compare the two engines on a
+        # frame containing exactly such a tie-prone 4dp float.
+        import duckdb
+
+        from globallinks_spark.queries_suites import (
+            checksum_frame, checksum_sql,
+        )
+
+        cols = [("k", "int"), ("v", "float"), ("s", "str")]
+        rows = [(1, 4.9750, "tie"), (2, -0.0025, "neg"), (3, 0.1, "x")]
+        sdf = spark.createDataFrame(rows, "k long, v double, s string")
+        got = checksum_frame(sdf, "t", cols).collect()[0]
+        assert isinstance(got["chk"], int)
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE sub AS SELECT * FROM (VALUES "
+            + ", ".join(f"({k}, {v}, '{s}')" for k, v, s in rows)
+            + ") AS t(k, v, s)"
+        )
+        oracle = con.execute(
+            checksum_sql("t", "SELECT * FROM sub", cols)
+        ).fetchone()
+        assert (got["n_rows"], got["nn"], got["chk"]) == (
+            oracle[1], oracle[2], oracle[3]
+        )

@@ -87,7 +87,7 @@ class TestRepetitionProfile:
         # queries_ext import from a test can hit the half-initialized module)
         from globallinks_spark.queries import FULL_REGISTRY
 
-        q_repetition_profile = FULL_REGISTRY["repetition_profile_core"].fn
+        q_repetition_profile = FULL_REGISTRY["repetition_profile"].fn
 
         # build a fixture-shaped frame and monkey-load via temp parquet
         import os
