@@ -91,7 +91,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, spec in REGISTRY.items():
-        best, n = float("inf"), 0
+        best = float("inf")
         for _ in range(2):
             # GC hint OUTSIDE the timing window: 50 queries of dead
             # broadcast/cache blocks otherwise pile into the old gen and
@@ -105,7 +105,10 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         rows[name] = spec.fn(spark, sf_dir).count()
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 

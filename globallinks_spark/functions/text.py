@@ -198,6 +198,29 @@ def lang_score(
     return F.size(F.filter(words_col, lambda w: w.isin(*markers)))
 
 
+def lang_scores_folded(words_col: Column) -> Column:
+    """ALL word-language marker scores in ONE bound expression: a
+    ``transform`` over the literal array-of-marker-arrays (one entry
+    per non-CHAR_LANGS language, in LANG_MARKERS order) that counts
+    each language's marker hits in the token array. Semantically
+    identical to per-language :func:`lang_score` — a word may belong
+    to several languages' marker sets ("de" is a marker for both es
+    and nl), which is why the fold keeps one count per language
+    instead of a first-match one-hot. One expression tree instead of
+    n_langs independent filter trees keeps the projection small and
+    the codegen a single nested loop."""
+    word_langs = [l for l in LANG_MARKERS if l not in CHAR_LANGS]
+    markers = F.array(*[
+        F.array(*[F.lit(m) for m in LANG_MARKERS[l]]) for l in word_langs
+    ])
+    return F.transform(
+        markers,
+        lambda ms: F.size(
+            F.filter(words_col, lambda x: F.array_contains(ms, x))
+        ),
+    )
+
+
 def lang_score_sql(words_expr: str, lang: str, text_expr: str = "text") -> str:
     markers = LANG_MARKERS[lang]
     if lang in CHAR_LANGS:

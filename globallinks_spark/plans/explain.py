@@ -12,15 +12,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+class PlanIntrospectionUnavailableError(RuntimeError):
+    """The JVM query-execution surface could not be reached through
+    this PySpark build's private bridge."""
+
+
+def _query_execution(df: DataFrame):
+    """Single guarded access to the private ``_jdf`` bridge (the
+    sketches.py pattern): plan introspection has no public PySpark
+    API — even ``df.explain()`` goes through the same bridge — so if a
+    future build moves it, every caller gets ONE clear error naming
+    this module instead of an AttributeError deep inside an assertion
+    helper or the explain CLI."""
+    try:
+        return df._jdf.queryExecution()
+    except Exception as exc:  # bridge moved / py4j surface changed
+        raise PlanIntrospectionUnavailableError(
+            "cannot reach JVM QueryExecution via _jdf on this PySpark "
+            "build; update globallinks_spark.plans.explain"
+        ) from exc
+
+
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    qe = _query_execution(df)
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            qe, mode
+        )
+    except PlanIntrospectionUnavailableError:
+        raise
+    except Exception as exc:
+        raise PlanIntrospectionUnavailableError(
+            "cannot render explainString via the JVM bridge on this "
+            "PySpark build; update globallinks_spark.plans.explain"
+        ) from exc
 
 
 def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE-planning) physical plan string."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    return _query_execution(df).executedPlan().toString()
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:

@@ -18,6 +18,23 @@ from globallinks_spark.functions import text as TX
 from globallinks_spark.functions import vectors as V
 from globallinks_spark.queries_base import QuerySpec, _dec, _round2, load
 
+
+def _roundtrip_dir(kind: str) -> str:
+    """Unique per-invocation scratch dir for the sink round-trip
+    queries. A fixed path keyed only by the sf-dir basename lets
+    concurrent executions (parallel pytest, bench + probe on dirs
+    sharing a basename) interleave one process's write with another's
+    read-back; a fresh mkdtemp per call cannot collide. Registered for
+    atexit removal — the caller's returned DataFrame stays lazy, so
+    the dir must outlive this function."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"gl_{kind}_roundtrip_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 # Shared oracle CTE: documents → words → distinct 3-gram shingles → H30
 # hashes (mirrors operators.dedup.with_shingle_hashes).
 _SQL_SHINGLE_CTE = f"""
@@ -493,25 +510,36 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.functions.binding import bind_once
 
     d = load(spark, sf_dir, "documents")
-    # bind the token array AND each per-language score: predict_lang's
-    # argmax CASE chain references every score ~2·(n_langs-1) times, and
-    # without the barrier CollapseProject inlines the array-filter tree
-    # into each reference (~160 array scans/row at 10 languages —
-    # measured 3× the r02 wall time when the catalog grew from 3 to 10
-    # languages). Bound, each score is ONE filter pass over the bound
-    # token array and the chain compares plain int attributes.
+    # bind the token array AND the scores: predict_lang's argmax CASE
+    # chain references every score ~2·(n_langs-1) times, and without
+    # the barrier CollapseProject inlines the score tree into each
+    # reference (~160 array scans/row at 10 languages — measured 3×
+    # the r02 wall time when the catalog grew from 3 to 10 languages).
+    # The 9 word-language scores fold into ONE bound array expression
+    # (a transform over the literal marker-array-of-arrays,
+    # functions/text.py lang_scores_folded) — one nested loop over the
+    # bound token array instead of 9 independent filter trees; the
+    # char-language (zh) score stays a separate bound regexp count on
+    # the raw text. The argmax chain then compares plain attributes.
     base = d.select(
         "doc_id", "lang", "text",
         bind_once(TX.words(F.col("text"))).alias("w"),
     )
-    scores = {
-        lang: TX.lang_score(F.col("w"), lang, text=F.col("text"))
-        for lang in TX.LANG_MARKERS
-    }
+    word_langs = [
+        lang for lang in TX.LANG_MARKERS if lang not in TX.CHAR_LANGS
+    ]
     scored = base.select(
         "doc_id", "lang",
-        *[bind_once(scores[lang]).alias(f"s_{lang}")
-          for lang in TX.LANG_MARKERS],
+        bind_once(TX.lang_scores_folded(F.col("w"))).alias("sv"),
+        *[bind_once(
+            TX.lang_score(F.col("w"), lang, text=F.col("text"))
+        ).alias(f"s_{lang}") for lang in TX.CHAR_LANGS],
+    )
+    scored = scored.select(
+        "doc_id", "lang",
+        *[F.element_at(F.col("sv"), i + 1).alias(f"s_{lang}")
+          for i, lang in enumerate(word_langs)],
+        *[f"s_{lang}" for lang in TX.CHAR_LANGS],
     )
     bound = {lang: F.col(f"s_{lang}") for lang in TX.LANG_MARKERS}
     out = scored.select(
@@ -849,10 +877,8 @@ def q_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same derivation + filter directly over orders — so a
     bucketing/pruning bug that drops or duplicates rows (wrong modulus,
     bucket column leaking into output, prune-to-wrong-directory) fails
-    the hash, not just a pytest. The write lands under /tmp (overwritten
-    per call, per sf)."""
-    import os
-
+    the hash, not just a pytest. The write lands in a unique per-call
+    tempdir (removed at process exit)."""
     from globallinks_spark.sources.serving import (
         read_serving_table,
         write_serving_table,
@@ -873,9 +899,7 @@ def q_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("page_host"),
         _round2(_dec("o_totalprice")).alias("value"),
     )
-    path = os.path.join(
-        "/tmp", f"gl_serving_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = _roundtrip_dir("serving")
     write_serving_table(links, path, buckets=16)
     return read_serving_table(spark, path, domain="d42.com")
 
@@ -900,8 +924,6 @@ def q_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard (same md5 kernel), and BPE token counts directly over
     documents — a shard-assignment or partition-layout bug changes the
     readback aggregation and fails the hash."""
-    import os
-
     from globallinks_spark.sources.corpus_sink import (
         read_training_shards,
         write_training_shards,
@@ -913,9 +935,7 @@ def q_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 10 == 8, "val")
         .otherwise("test")
     )
-    path = os.path.join(
-        "/tmp", f"gl_shard_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    path = _roundtrip_dir("shard")
     write_training_shards(d.withColumn("split", split), path, n_shards=16)
     back = read_training_shards(spark, path, split="train")
     return back.groupBy("split", "shard").agg(

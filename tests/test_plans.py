@@ -170,6 +170,12 @@ class TestWordsStagedOnce:
     def test_split_copies_bounded_by_scan_branches(
         self, spark_noaqe, name, branches
     ):
+        # cold-cache pin: the CacheManager is JVM-wide, so a persisted
+        # frame left by an earlier test (e.g. the corpus_qa_suite run
+        # re-using contamination_check's persisted overlap) substitutes
+        # an InMemoryRelation whose embedded cached-plan text inflates
+        # the split() count — the pin is about the COLD plan shape
+        spark_noaqe.catalog.clearCache()
         plan = plan_string(FULL_REGISTRY[name].fn(spark_noaqe, SF))
         assert plan.count("split(lower(") <= branches, (
             f"{name}: words(text) inlined into gram lambdas — "
