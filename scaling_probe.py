@@ -19,10 +19,22 @@ That makes the probe a test of the ENGINE's scaling, not of
 accidentally denser data: a query whose sf1/sf0.1 wall-time ratio is
 far above ~10-12× has a superlinear plan.
 
-Usage:  python scaling_probe.py [factor] [out_json]
+File layout matters as much as row count: sf0.1 tables are single
+parquet files, and a naive replicated write produces ONE ~10× file per
+table — which `maxPartitionBytes=256m` scans as ONE task, serializing
+every scan-bound query on one core and inflating its ratio toward the
+raw data factor (r04 measured dedup_exact at 8.86× for exactly this
+reason). A 100 TB table is never one file; the probe writes each
+derived table as ``factor`` files so scan parallelism grows with the
+data the way any real layout's would, and the ratio measures the
+ENGINE's plan, not an artificial single-task scan.
+
+Usage:  python scaling_probe.py [factor] [out_json] [only_csv]
 Writes SCALING_SF1.json (per-query sf0.1/sf1 seconds + ratio) and
-prints a summary. The derived dataset lands in /tmp/sparklinks_sfX
-(regenerable, not part of the repo).
+prints a summary. ``only_csv`` (optional) restricts to a comma-list of
+registry entries — the 100× probe uses it to re-run just the cheapest
+queries inside a bounded wall time. The derived dataset lands in
+/tmp/sparklinks_sfX (regenerable, not part of the repo).
 """
 
 from __future__ import annotations
@@ -74,7 +86,9 @@ def build(spark: SparkSession, out_dir: str, factor: int) -> None:
     for t, cols in plans.items():
         _replicate(spark, f"{SRC}/{t}.parquet", factor).select(
             *cols
-        ).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        ).repartition(factor).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
 
     # events: each replica shifts uniformly past the previous one —
     # keeping timestamps unshifted would DENSIFY the event stream ×
@@ -91,7 +105,9 @@ def build(spark: SparkSession, out_dir: str, factor: int) -> None:
             secs=F.col("__r").cast("double") * span_sec
         )).alias("ts"),
         _off("user_id"), "event_type", "value", "props",
-    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
 
     # documents: bijective per-replica token renaming (w → w + 'x<r>'
     # for r>0). Shingle sets map 1:1 within a replica, intersect empty
@@ -109,7 +125,9 @@ def build(spark: SparkSession, out_dir: str, factor: int) -> None:
     docs.select(
         _off("doc_id"), renamed.alias("text"), "lang", "source",
         F.length(renamed).cast("long").alias("n_chars"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
 
     # embeddings: per-(replica, dim) deterministic sign flip — an
     # orthogonal transform per replica (replica 0 is the identity)
@@ -127,16 +145,24 @@ def build(spark: SparkSession, out_dir: str, factor: int) -> None:
         F.when(F.col("__r") == 0, F.col("embedding"))
         .otherwise(flipped).alias("embedding"),
         "label",
-    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
 
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALING_SF1.json"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     big_dir = f"/tmp/sparklinks_sf{factor}x"
 
     from globallinks_spark.queries import REGISTRY
     from globallinks_spark.session import get_spark
+
+    registry = {k: v for k, v in REGISTRY.items()
+                if only is None or k in only}
+    if only and (missing := only - set(registry)):
+        raise SystemExit(f"unknown registry entries: {sorted(missing)}")
 
     spark = get_spark(app_name="scaling_probe")
 
@@ -148,7 +174,7 @@ def main() -> None:
               file=sys.stderr)
 
     results: dict[str, dict] = {}
-    for name, spec in REGISTRY.items():
+    for name, spec in registry.items():
         try:
             # noop sink = full-column materialization (count() lets
             # ColumnPruning skip aggregate functions — see bench.py)
