@@ -313,20 +313,35 @@ def near_dup_pairs_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     partition_col: str = "label",
+    tile_size: int = 2048,
 ) -> DataFrame:
-    """Production variant of :func:`near_dup_pairs`: one numpy gram
-    matrix per block via ``applyInPandas`` instead of a pair-expanded
-    self-join with a per-element fold. At dim d the JVM path evaluates a
-    d-step higher-order-function fold per PAIR; the matmul path does one
-    BLAS ``M @ M.T`` per block — measured ~4× at (5k vecs, d=64) and the
-    gap widens linearly with d. Same blocking key, same output columns;
+    """Production variant of :func:`near_dup_pairs`: BLAS gram matrices
+    via ``applyInPandas`` instead of a pair-expanded self-join with a
+    per-element fold. At dim d the JVM path evaluates a d-step
+    higher-order-function fold per PAIR; the matmul path does one
+    ``A @ B.T`` per task — measured ~4× at (5k vecs, d=64) and the gap
+    widens linearly with d. Same blocking key, same output columns;
     parity with the expression path is pinned by
-    tests/test_dedup_similarity.py::TestVectorizedNearDup (float64
-    matmul vs fold agree well past the 4-decimal rounding).
+    tests/test_dedup_similarity.py::TestVectorizedNearDup.
 
-    Scale shape: one shuffle on the blocking key; each block must fit a
-    worker's memory (labels / LSH buckets are bounded by construction —
-    the same constraint the join form has on its skewed side).
+    Scale shape — tile-pair decomposition. Exact threshold-all-pairs is
+    inherently quadratic in the block (the OUTPUT can be quadratic), but
+    the round-4 form also EXECUTED it as one task per block with one
+    O(n_block²) gram allocation: parallelism capped at the number of
+    blocks and memory quadratic in the largest block. The 100×
+    isomorphic probe caught it (SCALING_SF10.json round 5: 1449× on
+    100× data — a ~50k-vector label block means a 20 GB gram in one
+    task). Now each block is hash-split into ⌈n/tile_size⌉ tiles and
+    every unordered TILE PAIR (t1 ≤ t2) becomes its own group: per-task
+    memory is bounded by tile_size² regardless of block size, the
+    quadratic work spreads over n_tiles·(n_tiles+1)/2 tasks that grow
+    with the data, and the shuffle volume is n·n_tiles = n²/tile_size
+    per block — the standard communication bound for exact distributed
+    all-pairs. Output is bit-identical to the single-gram form (each
+    unordered vector pair lands in exactly one tile-pair group). Blocks
+    at or under tile_size degenerate to one (t,t) group ≡ the old path.
+    At 100 TB the exact form is for bounded blocks (LSH buckets, IVF
+    cells); unblocked corpora go through the sign-LSH / IVF variants.
     """
     import pandas as pd
 
@@ -340,31 +355,62 @@ def near_dup_pairs_vectorized(
         T.StructField("cosine", T.DoubleType()),
     ])
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _empty(pdf):
+        import pandas as pd
+        return pd.DataFrame(
+            {"vec_a": pdf["id"].iloc[:0],
+             "vec_b": pdf["id"].iloc[:0],
+             "cosine": pd.Series(dtype="float64")}
+        )
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_a": pdf["id"].iloc[:0],
-                 "vec_b": pdf["id"].iloc[:0],
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        pdf = pdf.sort_values("id").reset_index(drop=True)
-        M = np.stack(pdf["v"].map(np.asarray).to_numpy()).astype("float64")
-        nrm = np.linalg.norm(M, axis=1)
-        G = (M @ M.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(pdf), k=1)
-        raw = G[iu, ju]
-        # threshold on the RAW cosine, round only for output — exactly
-        # the expression form's order (filter then round); thresholding
-        # the rounded value diverges from the shared oracle for pairs in
-        # the [threshold - 5e-5, threshold) band
-        keep = raw >= threshold
-        ids = pdf["id"].to_numpy()
+            return _empty(pdf)
+        t1 = int(pdf["__t1"].iloc[0])
+        t2 = int(pdf["__t2"].iloc[0])
+        if t1 == t2:
+            # diagonal group: classic upper-triangle over one tile
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            M = np.stack(pdf["v"].map(np.asarray).to_numpy()).astype(
+                "float64")
+            nrm = np.linalg.norm(M, axis=1)
+            G = (M @ M.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(pdf), k=1)
+            raw = G[iu, ju]
+            # threshold on the RAW cosine, round only for output —
+            # exactly the expression form's order (filter then round);
+            # thresholding the rounded value diverges from the shared
+            # oracle for pairs in the [threshold - 5e-5, threshold) band
+            keep = raw >= threshold
+            ids = pdf["id"].to_numpy()
+            return pd.DataFrame({
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cosine": np.round(raw[keep], 4),
+            })
+        # off-diagonal group: full cross product of two distinct tiles
+        pa = pdf[pdf["__t"] == t1]
+        pb = pdf[pdf["__t"] == t2]
+        if len(pa) == 0 or len(pb) == 0:
+            return _empty(pdf)
+        A = np.stack(pa["v"].map(np.asarray).to_numpy()).astype("float64")
+        B = np.stack(pb["v"].map(np.asarray).to_numpy()).astype("float64")
+        G = (A @ B.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+        )
+        ia, ib = np.nonzero(G >= threshold)
+        if len(ia) == 0:
+            return _empty(pdf)
+        raw = G[ia, ib]
+        ids_a = pa["id"].to_numpy()[ia]
+        ids_b = pb["id"].to_numpy()[ib]
+        # canonical (vec_a < vec_b) order, matching the triu convention
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
         return pd.DataFrame({
-            "vec_a": ids[iu[keep]],
-            "vec_b": ids[ju[keep]],
-            "cosine": np.round(raw[keep], 4),
+            "vec_a": lo, "vec_b": hi, "cosine": np.round(raw, 4),
         })
 
     base = embeddings.select(
@@ -372,7 +418,30 @@ def near_dup_pairs_vectorized(
         F.col(vec_col).alias("v"),
         F.col(partition_col).alias("p"),
     )
-    return base.groupBy("p").applyInPandas(block_pairs, out_schema)
+    # per-block tile count from the block's row count (skew-aware); the
+    # count is a partial-agg shuffle on the same key the main exchange
+    # uses, and the result is broadcast back — no extra wide shuffle
+    counts = base.groupBy("p").agg(F.count(F.lit(1)).alias("__n"))
+    fanned = (
+        base.join(F.broadcast(counts), on="p")
+        .withColumn(
+            "__nt",
+            F.greatest(
+                F.ceil(F.col("__n") / F.lit(tile_size)), F.lit(1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__t", F.pmod(F.xxhash64(F.col("id")), F.col("__nt")).cast("int")
+        )
+        # fan each vector out to every tile it must meet: one copy per
+        # OTHER tile index o yields each unordered tile pair exactly once
+        .withColumn("__o", F.explode(F.sequence(F.lit(0), F.col("__nt") - 1)))
+        .withColumn("__t1", F.least("__t", "__o"))
+        .withColumn("__t2", F.greatest("__t", "__o"))
+    )
+    return fanned.groupBy("p", "__t1", "__t2").applyInPandas(
+        tile_pairs, out_schema
+    )
 
 
 def near_dup_pairs(
@@ -442,10 +511,12 @@ def semantic_dedup(
     Scale shape: clustering is build_ivf_index (one narrow job per
     Lloyd iteration); the pairwise stage is
     near_dup_pairs_vectorized blocked on the LEARNED cell — one shuffle
-    on the cell key, one BLAS gram matrix per cell. Cells bound the
-    quadratic term to (corpus / n_cells)² per block; at 100 TB you
-    raise n_cells so cells stay worker-memory-sized (the paper runs
-    ~100k clusters for LAION-scale corpora).
+    on the cell key, tile-pair-bounded BLAS grams per cell (worker
+    memory stays ≤ tile_size² even when a cell outgrows its expected
+    share). Cells bound the quadratic WORK to (corpus / n_cells)² per
+    block; at 100 TB you raise n_cells so cells stay small (the paper
+    runs ~100k clusters for LAION-scale corpora), and the tiling keeps
+    the stage safe against skewed cells meanwhile.
     """
     _, assigned = build_ivf_index(
         embeddings, n_cells, iterations, id_col=id_col, vec_col=vec_col
@@ -480,9 +551,9 @@ def embedding_dedup_groups(
     Output (vec_id, keeper_id, keep); vectors without a near-duplicate
     don't appear (trivially keepers).
 
-    Scale shape: inherits the pair stage's blocking (one shuffle + one
-    gram matrix per block); component propagation runs on the PAIR
-    frame only, never the corpus.
+    Scale shape: inherits the pair stage's blocking (one shuffle +
+    tile-pair-bounded grams per block); component propagation runs on
+    the PAIR frame only, never the corpus.
     """
     from globallinks_spark.operators.dedup import connected_components
 

@@ -523,6 +523,30 @@ class TestVectorizedNearDup:
         )
         assert S.near_dup_pairs_vectorized(df, threshold=0.5).count() == 0
 
+    def test_tiled_blocks_match_single_gram(self, spark):
+        # 100× probe regression (SCALING_SF10.json round 5): a block
+        # larger than tile_size must split into tile-pair tasks yet
+        # produce the IDENTICAL pair set — diagonal triu groups plus
+        # off-diagonal cross groups cover each unordered pair once.
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        whole = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in S.near_dup_pairs_vectorized(
+                emb, threshold=0.35, tile_size=1_000_000
+            ).collect()
+        }
+        # sf0.01 label blocks are ~hundreds of rows; tile_size=37 forces
+        # every block into many tiles (uneven hash splits included)
+        tiled = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in S.near_dup_pairs_vectorized(
+                emb, threshold=0.35, tile_size=37
+            ).collect()
+        }
+        assert whole == tiled and len(whole) > 0
+
 
 class TestMultiProbe:
     def test_probe_sequence_deterministic_and_ordered(self):
