@@ -47,9 +47,20 @@ _DEFAULTS: dict[str, str] = {
     # the JIT refusing to optimize the 8-64 KB middle ground. Must be set
     # at JVM launch; in local mode the driver JVM hosts the executors, and
     # on a real cluster the executor option carries the same fix.
+    # -XX:ReservedCodeCacheSize=512m: the default 240 MB code cache fills
+    # after a few thousand codegen stages (each WholeStageCodegen class is
+    # JIT-compiled, and -XX:-DontCompileHugeMethods makes the compiled
+    # blobs BIGGER) — when it fills, HotSpot disables the compiler and
+    # every later stage runs interpreted. Measured in-process: the
+    # extraction count-path is 2.2 s in a fresh JVM but 7.0 s when timed
+    # after the 50-query catalog (~5,000 stages) with the default cache.
+    # A long-lived production executor compiles far more than 5,000
+    # stages, so the headroom is the realistic setting, not a bench tweak.
     "spark.driver.extraJavaOptions":
-        "-Djava.net.preferIPv4Stack=true -XX:-DontCompileHugeMethods",
-    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+        "-Djava.net.preferIPv4Stack=true -XX:-DontCompileHugeMethods "
+        "-XX:ReservedCodeCacheSize=512m",
+    "spark.executor.extraJavaOptions":
+        "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
 }
 
 
