@@ -332,21 +332,34 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     drop-in replacement is two `percentile_approx` cutoffs over the
     same column, which keeps the plan fully parallel.
 
-    Plan: three linear aggregations (unigram counts, bigram counts,
-    vocab size) + keyed joins back to the positional gram stream. The
-    count tables shuffle on their gram keys (no broadcast hint on the
-    unigram side — a 100 TB corpus's vocabulary is not guaranteed
-    map-side-small, and AQE will broadcast it when it is); nothing is
-    collected and nothing is quadratic, so the plan scales with corpus
-    token count. Docs with < 2 words have no bigrams and are excluded.
+    Plan (round 5 shape): the positional gram stream is materialized
+    ONCE, immediately reduced to per-(doc, bigram) counts — a
+    partial-agg-friendly shuffle on (doc_id, bigram) — and every later
+    stage works on count tables. Corpus bigram counts derive from the
+    per-doc counts (second small aggregation, not a second pass over
+    the stream); the smoothed per-bigram NLL is computed on the
+    DISTINCT-bigram table (join with unigram counts there, where rows
+    are fewest), and joins back to the per-doc counts in one keyed
+    join. The round-4 shape joined the full positional stream twice
+    (on bigram, then on w1) and scanned the explode twice; this shape
+    shuffles the wide stream once and joins it once —
+    avg = Σ k·nll / Σ k over per-doc counts is algebraically the
+    positional mean. No broadcast hint on the unigram side (a 100 TB
+    corpus's vocabulary is not guaranteed map-side-small; AQE
+    broadcasts it when it is); nothing is collected and nothing is
+    quadratic. Docs with < 2 words have no bigrams and are excluded.
     """
     # words staged through a named column + _spread parallelism
     # (see contamination_pairs.grams)
     words = _spread(docs).select("doc_id", TX.words(F.col("text")).alias("w"))
-    bi = words.select(
-        "doc_id",
-        F.explode(TX.shingles_seq(F.col("w"), 2)).alias("bigram"),
-    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    per_doc = (
+        words.select(
+            "doc_id",
+            F.explode(TX.shingles_seq(F.col("w"), 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
 
     uni = (
         words.select(F.explode(F.col("w")).alias("w1"))
@@ -354,17 +367,29 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c1"))
     )
     vocab = uni.agg(F.count("*").alias("v"))
-    bic = bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+    bic = per_doc.groupBy("bigram").agg(F.sum("k").alias("c2"))
 
-    nll = -F.log(
-        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
-    )
-    scored = (
-        bi.join(bic, "bigram")
+    bigram_nll = (
+        bic.withColumn(
+            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            (-F.log(
+                (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+            )).alias("nll"),
+        )
+    )
+    scored = (
+        per_doc.join(bigram_nll, "bigram")
         .groupBy("doc_id")
-        .agg(F.round(F.avg(nll), 6).alias("avg_nll"))
+        .agg(
+            F.round(
+                F.sum(F.col("k") * F.col("nll")) / F.sum("k"), 6
+            ).alias("avg_nll")
+        )
     )
     bucket = F.ntile(3).over(Window.orderBy("avg_nll", "doc_id"))
     names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
@@ -384,19 +409,22 @@ WITH w AS (
   SELECT doc_id, {ws} AS w FROM documents
 ), bi AS (
   SELECT doc_id, unnest({bigrams}) AS bigram FROM w
-), bi1 AS (
-  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bi
+), per_doc AS (
+  SELECT doc_id, bigram, count(*) AS k FROM bi GROUP BY 1, 2
 ), toks AS (
   SELECT unnest(w) AS w1 FROM w
 ), uni AS (
   SELECT w1, count(*) AS c1 FROM toks GROUP BY 1
 ), bic AS (
-  SELECT bigram, count(*) AS c2 FROM bi GROUP BY 1
+  SELECT bigram, sum(k) AS c2 FROM per_doc GROUP BY 1
+), bigram_nll AS (
+  SELECT bigram,
+    -ln((c2 + 1.0) / (c1 + (SELECT count(*) FROM uni))) AS nll
+  FROM (SELECT bigram, c2, string_split(bigram, ' ')[1] AS w1 FROM bic)
+  JOIN uni USING (w1)
 ), scored AS (
-  SELECT doc_id,
-    round(avg(-ln((c2 + 1.0) / (c1 + (SELECT count(*) FROM uni)))), 6)
-      AS avg_nll
-  FROM bi1 JOIN bic USING (bigram) JOIN uni USING (w1)
+  SELECT doc_id, round(sum(k * nll) / sum(k), 6) AS avg_nll
+  FROM per_doc JOIN bigram_nll USING (bigram)
   GROUP BY 1
 )
 SELECT doc_id, avg_nll,
