@@ -1,0 +1,175 @@
+"""Measured recall behind the ANN escape hatch (round-6, VERDICT r5 #8).
+
+The exact near-dup operators route unblocked corpora to the sign-LSH /
+multi-probe / IVF variants (operators/similarity.py) — this probe pins
+MEASURED recall@k for each variant at the 10× isomorphic probe scale
+(the same derived dataset the scaling ladder uses, ~10× sf0.1
+embeddings), so that routing claim has a number behind it, not just a
+citation to the LSH literature.
+
+Method: Q deterministic query vectors (hash-strided vec_ids — spread
+across replicas, reproducible), exact brute-force cosine top-k as
+ground truth (one batch knn_join pass), then each ANN variant's top-k
+per query. recall@k = |variant ∩ exact| / k, averaged over queries;
+per-variant wall time and the candidate fraction (share of the corpus
+actually scored) are recorded alongside, since recall without its cost
+is not a trade-off.
+
+Index parameters match the registry queries' defaults (bits=8 sign-LSH,
+16-cell IVF, 2 Lloyd iterations) — the point is to QA the shipped
+configuration, not a tuned one.
+
+Usage: python ann_recall_probe.py [factor] [out_json] [k] [n_queries]
+Writes ANN_RECALL.json (committed artifact; README/SCALING.md cite it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from globallinks_spark.operators import similarity as S
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "ANN_RECALL.json"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_q = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+
+    import scaling_probe
+    from globallinks_spark.session import get_spark
+
+    spark = get_spark(app_name="ann_recall_probe")
+    big_dir = f"/tmp/sparklinks_sf{factor}x"
+    if not os.path.exists(f"{big_dir}/_BUILT"):
+        t0 = time.perf_counter()
+        scaling_probe.build(spark, big_dir, factor)
+        open(f"{big_dir}/_BUILT", "w").close()
+        print(f"# built {big_dir} in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+
+    emb = spark.read.parquet(f"{big_dir}/embeddings.parquet")
+    n_total = emb.count()
+
+    # deterministic query sample: hash-strided vec_ids (covers replicas;
+    # bounded collect of n_q rows — parameters, not data)
+    queries = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(997)) == 0)
+        .orderBy("vec_id")
+        .limit(n_q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in queries]
+    print(f"# {len(qrows)} queries over {n_total} vectors", file=sys.stderr)
+
+    # exact ground truth: ONE batch pass (broadcast queries, window top-k)
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qrows], ["vec_id", "embedding"]
+    )
+    t0 = time.perf_counter()
+    exact = {
+        qid: set()
+        for qid, _ in qrows
+    }
+    for r in S.knn_join(qdf, emb, k=k).collect():
+        exact[int(r["query_id"])].add(int(r["vec_id"]))
+    t_exact = time.perf_counter() - t0
+
+    emb.persist()
+    results: dict[str, dict] = {}
+
+    def run_variant(name: str, topk_fn, cand_fraction: float) -> None:
+        t0 = time.perf_counter()
+        recalls = []
+        for qid, qv in qrows:
+            got = {int(r["vec_id"]) for r in topk_fn(qv).collect()}
+            recalls.append(len(got & exact[qid]) / float(k))
+        results[name] = {
+            "recall_at_k": round(sum(recalls) / len(recalls), 4),
+            "min_recall": round(min(recalls), 4),
+            "queries_below_half": sum(1 for r in recalls if r < 0.5),
+            "total_sec": round(time.perf_counter() - t0, 2),
+            "candidate_fraction": round(cand_fraction, 5),
+        }
+        print(f"# {name}: mean {results[name]['recall_at_k']} "
+              f"min {results[name]['min_recall']} "
+              f"({results[name]['total_sec']}s)", file=sys.stderr)
+
+    # sign-LSH family: bucket the corpus ONCE (the registry queries'
+    # bits=8), cache, then per-query isin probes — the production shape
+    bits = 8
+    bucketed = S.with_sign_bucket(emb, bits=bits).persist()
+    bucketed.count()
+    for n_probe in (1, 4, 8):
+        frac = min(1.0, n_probe / float(1 << bits))
+
+        def lsh_topk(qv, n_probe=n_probe):
+            bl = S.probe_buckets(qv, bits, n_probe)
+            return S.cosine_topk(
+                bucketed.filter(F.col("bucket").isin(bl)), qv, k
+            )
+
+        run_variant(
+            f"sign_lsh_bits{bits}_probe{n_probe}", lsh_topk, frac
+        )
+    bucketed.unpersist()
+
+    # IVF: build the index ONCE (registry defaults: 16 cells, 2 Lloyd
+    # iterations), cache the assignment, per-query probe the nearest
+    # n_probe cells — exactly ivf_topk's plan minus the per-call rebuild
+    n_cells, ivf_probe = 16, 2
+    t0 = time.perf_counter()
+    centroids, assigned = S.build_ivf_index(emb, n_cells=n_cells)
+    assigned = assigned.persist()
+    assigned.count()
+    t_build = time.perf_counter() - t0
+
+    def ivf_topk_cached(qv):
+        def d2(c):
+            return sum((a - b) * (a - b) for a, b in zip(qv, c))
+        probe = sorted(range(len(centroids)), key=lambda ci: d2(centroids[ci]))
+        return S.cosine_topk(
+            assigned.filter(F.col("cell").isin(*probe[:ivf_probe])), qv, k
+        )
+
+    run_variant(
+        f"ivf_cells{n_cells}_probe{ivf_probe}", ivf_topk_cached,
+        ivf_probe / float(n_cells),
+    )
+    results[f"ivf_cells{n_cells}_probe{ivf_probe}"]["index_build_sec"] = round(
+        t_build, 2
+    )
+    assigned.unpersist()
+    emb.unpersist()
+
+    out = {
+        "metric": "ann_recall_at_k",
+        "k": k,
+        "n_queries": len(qrows),
+        "n_vectors": n_total,
+        "factor": factor,
+        "dataset": big_dir,
+        "exact_ground_truth_sec": round(t_exact, 2),
+        "variants": results,
+        "note": (
+            "recall vs exact brute-force cosine top-k on the 10x "
+            "isomorphic probe dataset; candidate_fraction = share of "
+            "the corpus scored per query (the latency lever). Shipped "
+            "defaults: bits=8 sign-LSH, 16-cell/2-iter IVF."
+        ),
+    }
+    with open(out_json, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({n: v["recall_at_k"] for n, v in results.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

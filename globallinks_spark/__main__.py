@@ -52,7 +52,7 @@ def main(argv: list[str]) -> int:
     elif cmd == "compact" and len(argv) == 4:
         runner.run_compact(spark, argv[2], argv[3])
     elif cmd == "store" and len(argv) in (4, 5):
-        buckets = int(argv[4]) if len(argv) == 5 else 256
+        buckets = int(argv[4]) if len(argv) == 5 else None  # None → auto
         runner.run_store(spark, argv[2], argv[3], buckets)
     elif cmd == "query" and len(argv) >= 4:
         q = LinkQuery(

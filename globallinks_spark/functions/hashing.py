@@ -81,13 +81,21 @@ MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
 )
 
 
+def _md5_h60(col: Column) -> Column:
+    """The md5 H60 expression — the single definition both :func:`h60`'s
+    md5 branch and :func:`md5_h30` build on (and that :func:`h60_sql`
+    mirrors in DuckDB syntax). Keeping one copy means an adjustment here
+    cannot silently desynchronize the checksum contract."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def h60(col: Column) -> Column:
     """60-bit hash of a string column (kernel-selected; see module doc).
     Both kernels land in [0, 2^60) so the minhash modular arithmetic
     stays overflow-free either way."""
     if _kernel == "xxhash64":
         return F.pmod(F.xxhash64(col), F.lit(1 << 60))
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    return _md5_h60(col)
 
 
 def h30(col: Column) -> Column:
@@ -101,10 +109,7 @@ def md5_h30(col: Column) -> Column:
     any other cross-engine verification path must stay replayable in
     DuckDB (via :func:`h30_sql`, which is likewise md5-only) even when
     the production kernel is switched to xxhash64."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-        % F.lit(H30_MOD)
-    )
+    return _md5_h60(col) % F.lit(H30_MOD)
 
 
 def h60_sql(expr: str) -> str:

@@ -337,11 +337,23 @@ def near_dup_pairs_vectorized(
     quadratic work spreads over n_tiles·(n_tiles+1)/2 tasks that grow
     with the data, and the shuffle volume is n·n_tiles = n²/tile_size
     per block — the standard communication bound for exact distributed
-    all-pairs. Output is bit-identical to the single-gram form (each
-    unordered vector pair lands in exactly one tile-pair group). Blocks
-    at or under tile_size degenerate to one (t,t) group ≡ the old path.
-    At 100 TB the exact form is for bounded blocks (LSH buckets, IVF
-    cells); unblocked corpora go through the sign-LSH / IVF variants.
+    all-pairs. Output matches the single-gram form up to float64 gemm
+    associativity (each unordered vector pair lands in exactly one
+    tile-pair group; BLAS may differ in the last ulp across matrix
+    shapes, far below the 4-decimal output rounding — a pair sitting
+    EXACTLY on the threshold or a rounding boundary could in principle
+    flip, so the parity test compares with that tolerance). At 100 TB
+    the exact form is for bounded blocks (LSH buckets, IVF cells);
+    unblocked corpora go through the sign-LSH / IVF variants.
+
+    Small-scale guard: when no block exceeds ``tile_size`` (checked by
+    one eager bounded aggregate — a partial-agg count per block, one
+    row to the driver) the counts-join/explode fan-out is skipped and
+    grouping is by the block key alone — the pre-tiling plan shape.
+    Round 5 measured the fan-out costing ~2 s at sf0.1 (one extra
+    shuffle + broadcast join) as pure insurance on data that never
+    tiles; the guard keeps small-scale latency at the old shape while
+    blocks that DO exceed tile_size still get the bounded-memory path.
     """
     import pandas as pd
 
@@ -422,6 +434,17 @@ def near_dup_pairs_vectorized(
     # count is a partial-agg shuffle on the same key the main exchange
     # uses, and the result is broadcast back — no extra wide shuffle
     counts = base.groupBy("p").agg(F.count(F.lit(1)).alias("__n"))
+    # small-scale guard (see docstring): one bounded eager aggregate —
+    # if every block fits a single tile, skip the fan-out entirely
+    max_row = counts.agg(F.max("__n").alias("m")).first()
+    max_n = max_row["m"] if max_row is not None else None
+    if max_n is None or max_n <= tile_size:
+        single = (
+            base.withColumn("__t", F.lit(0))
+            .withColumn("__t1", F.lit(0))
+            .withColumn("__t2", F.lit(0))
+        )
+        return single.groupBy("p").applyInPandas(tile_pairs, out_schema)
     fanned = (
         base.join(F.broadcast(counts), on="p")
         .withColumn(

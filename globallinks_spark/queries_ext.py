@@ -19,19 +19,32 @@ from globallinks_spark.functions import vectors as V
 from globallinks_spark.queries_base import QuerySpec, _dec, _round2, load
 
 
+_roundtrip_live: dict[str, str] = {}
+
+
 def _roundtrip_dir(kind: str) -> str:
     """Unique per-invocation scratch dir for the sink round-trip
     queries. A fixed path keyed only by the sf-dir basename lets
     concurrent executions (parallel pytest, bench + probe on dirs
     sharing a basename) interleave one process's write with another's
-    read-back; a fresh mkdtemp per call cannot collide. Registered for
-    atexit removal — the caller's returned DataFrame stays lazy, so
-    the dir must outlive this function."""
+    read-back; a fresh mkdtemp per call cannot collide. At most ONE
+    live dir per kind per process: the previous invocation's dir is
+    removed here, when its successor is created — bench/probe loops
+    call each roundtrip query several times per process, and without
+    the eviction /tmp grew by a full table copy per invocation. Safe
+    because every caller materializes its returned (lazy) frame before
+    the same query is invoked again, and the slot is per-process so
+    concurrent pytest workers never evict each other. The final dir is
+    removed at exit."""
     import atexit
     import shutil
     import tempfile
 
+    prev = _roundtrip_live.pop(kind, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     path = tempfile.mkdtemp(prefix=f"gl_{kind}_roundtrip_")
+    _roundtrip_live[kind] = path
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 

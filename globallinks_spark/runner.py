@@ -123,7 +123,7 @@ def run_compact(spark: SparkSession, out_dir: str, segment: str) -> None:
 
 def run_store(
     spark: SparkSession, out_dir: str, serving_path: str,
-    buckets: int = SV.DEFAULT_BUCKETS,
+    buckets: int | None = None,
 ) -> None:
     """All compacted segments → one domain-bucketed serving table
     (storelinks, cmd/storelinks/main.go:74-178; the F16 domain
@@ -131,12 +131,21 @@ def run_store(
     reference's ``imported`` collection insert (main.go:171-175) — as a
     ``_manifest`` parquet inside the serving path: (segment, n_rows,
     loaded_at), overwritten WITH the table so it always describes
-    exactly what is being served."""
+    exactly what is being served.
+
+    ``buckets=None`` (the default) sizes the layout from the input:
+    ``SV.auto_buckets`` targets ~256 MiB per bucket directory — the
+    fixed 256-bucket default over-shuffled small loads 2.6× (round-5
+    IMPORTER_E2E store stage) while the sidecar-recorded count keeps
+    readers correct for any choice. Pass an explicit count to pin a
+    cross-load layout (incremental loads into one table must agree)."""
     from globallinks_spark.functions.predicates import domain_is_valid
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(out_dir, "compact"))
     df = df.filter(domain_is_valid(F.col("link_domain")))
+    if buckets is None:
+        buckets = SV.auto_buckets(df)
     SV.write_serving_table(df.drop("segment"), serving_path, buckets)
     # written after the table commit: a crash between the two leaves the
     # previous manifest alongside the new table for one rerun window,

@@ -526,13 +526,17 @@ class TestVectorizedNearDup:
     def test_tiled_blocks_match_single_gram(self, spark):
         # 100× probe regression (SCALING_SF10.json round 5): a block
         # larger than tile_size must split into tile-pair tasks yet
-        # produce the IDENTICAL pair set — diagonal triu groups plus
+        # produce the same pair set — diagonal triu groups plus
         # off-diagonal cross groups cover each unordered pair once.
+        # Cosines are compared with a 2e-4 tolerance, not exact-set:
+        # BLAS gemm for different matrix shapes (tiled A@B.T vs whole
+        # M@M.T) can differ in the last ulp, which the 4dp rounding can
+        # amplify to a 1e-4 step for values on a rounding boundary.
         from globallinks_spark.queries import load
 
         emb = load(spark, "/root/testdata/sf0.01", "embeddings")
         whole = {
-            (r.vec_a, r.vec_b, r.cosine)
+            (r.vec_a, r.vec_b): r.cosine
             for r in S.near_dup_pairs_vectorized(
                 emb, threshold=0.35, tile_size=1_000_000
             ).collect()
@@ -540,12 +544,14 @@ class TestVectorizedNearDup:
         # sf0.01 label blocks are ~hundreds of rows; tile_size=37 forces
         # every block into many tiles (uneven hash splits included)
         tiled = {
-            (r.vec_a, r.vec_b, r.cosine)
+            (r.vec_a, r.vec_b): r.cosine
             for r in S.near_dup_pairs_vectorized(
                 emb, threshold=0.35, tile_size=37
             ).collect()
         }
-        assert whole == tiled and len(whole) > 0
+        assert whole.keys() == tiled.keys() and len(whole) > 0
+        for k, c in whole.items():
+            assert abs(c - tiled[k]) <= 2e-4, (k, c, tiled[k])
 
 
 class TestMultiProbe:

@@ -223,6 +223,30 @@ class TestPipeline:
         got = read_serving_table(spark, path, domain="hot.example.com")
         assert got.count() == 4000
 
+    def test_auto_buckets_sizes_layout_from_input(self, spark, tmp_path):
+        """Round-6 fix for the e2e store-stage gap: the bucket count is
+        derived from the plan's size estimate (~256 MiB per bucket,
+        clamped to [8, 4096]) instead of a fixed 256 — a 1.28M-row load
+        must not fan into 1024 write tasks. The sidecar meta keeps
+        readers correct for any write-time choice, so only the clamps
+        and monotonicity are contractual."""
+        from globallinks_spark.sources import serving as SV
+
+        small = spark.range(10).selectExpr("cast(id as string) link_domain")
+        p = str(tmp_path / "tiny.parquet")
+        small.write.parquet(p)
+        scan = spark.read.parquet(p)
+        assert SV.auto_buckets(scan) == SV._MIN_BUCKETS
+        # a frame with no file-source stats falls back to the default
+        assert SV.auto_buckets(small) in (
+            SV.DEFAULT_BUCKETS, SV._MIN_BUCKETS,
+        )
+        # clamp arithmetic (pure function of the byte estimate):
+        # floor, power-of-two rounding, 100 TB ceiling
+        assert SV._buckets_for_bytes(1) == SV._MIN_BUCKETS
+        assert SV._buckets_for_bytes(SV._TARGET_BUCKET_BYTES * 100) == 128
+        assert SV._buckets_for_bytes(100 << 40) == SV._MAX_BUCKETS
+
 
 class TestSqlCli:
     def test_sql_subcommand_registers_views_and_prints_json(self, capsys):
