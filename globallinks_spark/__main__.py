@@ -9,7 +9,7 @@
     python -m globallinks_spark serve <serving_path> [port] [certfile keyfile]
     python -m globallinks_spark sql <data_dir> <query> [limit]
     python -m globallinks_spark curate <data_dir> <out_dir> [n_shards]
-    python -m globallinks_spark explain <data_dir> <query_name> [mode]
+    python -m globallinks_spark explain <data_dir> <query_name> [mode|audit]
 
 (reference: cmd/importer, cmd/importer compacting mode, cmd/storelinks,
 cmd/linksapi — /root/reference/cmd/*/main.go)
@@ -102,11 +102,21 @@ def main(argv: list[str]) -> int:
                   + ", ".join(sorted(REGISTRY)))
             return 2
         mode = argv[4] if len(argv) == 5 else "formatted"
-        modes = ("simple", "extended", "codegen", "cost", "formatted")
+        modes = ("simple", "extended", "codegen", "cost", "formatted",
+                 "audit")
         if mode not in modes:
             print(f"unknown mode {mode!r}; one of: {', '.join(modes)}")
             return 2
-        print(plan_string(REGISTRY[name].fn(spark, argv[2]), mode))
+        if mode == "audit":
+            # structured anti-pattern findings instead of the raw plan
+            import json as _json
+
+            from globallinks_spark.plans.explain import audit
+
+            for f in audit(REGISTRY[name].fn(spark, argv[2])):
+                print(_json.dumps(f))
+        else:
+            print(plan_string(REGISTRY[name].fn(spark, argv[2]), mode))
     elif cmd == "serve" and len(argv) in (3, 4, 6):
         from globallinks_spark.httpapi import serve
 

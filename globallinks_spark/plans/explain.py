@@ -88,6 +88,70 @@ def count_shuffles(df: DataFrame) -> int:
     return plan.count("Exchange ") - plan.count("ReusedExchange")
 
 
+def audit(df: DataFrame) -> list[dict]:
+    """Scan the physical plan for the anti-patterns that pass every
+    value test at sf0.01 and then die at 100 TB. Returns one finding
+    dict per hit: {pattern, severity, detail, advice} — empty list =
+    clean. Pure plan-string inspection (no job runs), so it is cheap
+    enough to gate CI on: the repo's own registry is audited in
+    tests/test_plans.py and must stay free of `error`-severity hits.
+
+    Patterns:
+    - CartesianProduct            error  unbounded pair blowup
+    - BroadcastNestedLoopJoin     warn   O(n·m) compare; fine only when
+                                         one side is provably tiny
+    - BatchEvalPython             error  row-at-a-time Python UDF in
+                                         the plan (Arrow-less transfer)
+    - Exchange SinglePartition    warn   a stage collapses to one task;
+                                         legitimate under a global
+                                         limit/sort-tail, fatal mid-plan
+    - ShuffleExchange count       info   reported for context
+    """
+    plan = plan_string(df, "simple")
+    findings: list[dict] = []
+    if "CartesianProduct" in plan:
+        findings.append({
+            "pattern": "CartesianProduct", "severity": "error",
+            "detail": "unconditioned cross join in the physical plan",
+            "advice": "add an equi-join key, or broadcast a provably "
+                      "tiny side explicitly",
+        })
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append({
+            "pattern": "BroadcastNestedLoopJoin", "severity": "warn",
+            "detail": "non-equi join compares every row pair against "
+                      "the broadcast side",
+            "advice": "bucket the range/interval key into an equi-join "
+                      "prefilter (operators/rangejoin.py pattern)",
+        })
+    if "BatchEvalPython" in plan:
+        findings.append({
+            "pattern": "BatchEvalPython", "severity": "error",
+            "detail": "row-at-a-time Python UDF (pickled row transfer)",
+            "advice": "use built-in expressions, or an Arrow-batched "
+                      "pandas UDF (ArrowEvalPython) if Python is "
+                      "unavoidable",
+        })
+    n_single = plan.count("Exchange SinglePartition")
+    if n_single:
+        findings.append({
+            "pattern": "Exchange SinglePartition", "severity": "warn",
+            "detail": f"{n_single} single-partition exchange(s): a "
+                      "stage runs as ONE task",
+            "advice": "legitimate for a global scalar/limit tail or a "
+                      "tiny offsets table (packing.py pins exactly one); "
+                      "mid-plan on big data it is the scale killer",
+        })
+    n_shuffle = plan.count("Exchange ") - plan.count("ReusedExchange")
+    findings.append({
+        "pattern": "shuffle-count", "severity": "info",
+        "detail": f"{n_shuffle} exchange(s) in the plan",
+        "advice": "each is a full network/disk round of its input; "
+                  "check keys reuse an existing partitioning",
+    })
+    return findings
+
+
 def codegen_subtrees(df: DataFrame) -> int | None:
     """Number of WholeStageCodegen subtrees, or None when AQE defers
     stage planning to runtime (the pre-execution adaptive plan always

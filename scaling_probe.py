@@ -29,11 +29,14 @@ derived table as ``factor`` files so scan parallelism grows with the
 data the way any real layout's would, and the ratio measures the
 ENGINE's plan, not an artificial single-task scan.
 
-Usage:  python scaling_probe.py [factor] [out_json] [only_csv]
+Usage:  python scaling_probe.py [factor] [out_json] [only_csv] [runs]
 Writes SCALING_SF1.json (per-query sf0.1/sf1 seconds + ratio) and
-prints a summary. ``only_csv`` (optional) restricts to a comma-list of
-registry entries — the 100× probe uses it to re-run just the cheapest
-queries inside a bounded wall time. The derived dataset lands in
+prints a summary. ``only_csv`` (optional; '-' = all) restricts to a
+comma-list of registry entries. ``runs`` (default 2) is the timed
+repetitions per side — the 100× full-registry sweep uses runs=1 to
+bound wall time by sampling repetitions instead of skipping entries
+(a quadratic announces itself at 10×+ the expected ratio; single-run
+noise is ~±30%, far below that signal). The derived dataset lands in
 /tmp/sparklinks_sfX (regenerable, not part of the repo).
 """
 
@@ -153,7 +156,9 @@ def build(spark: SparkSession, out_dir: str, factor: int) -> None:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALING_SF1.json"
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    only = (set(sys.argv[3].split(","))
+            if len(sys.argv) > 3 and sys.argv[3] != "-" else None)
+    runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     big_dir = f"/tmp/sparklinks_sf{factor}x"
 
     from globallinks_spark.queries import REGISTRY
@@ -183,7 +188,7 @@ def main() -> None:
             times = {}
             for tag, d in (("sf0.1", SRC), (f"sf{factor}x", big_dir)):
                 best = float("inf")
-                for _ in range(2):
+                for _ in range(runs):
                     spark.sparkContext._jvm.System.gc()
                     t0 = time.perf_counter()
                     spec.fn(spark, d).write.format("noop").mode(
@@ -202,6 +207,7 @@ def main() -> None:
     ok = {k: v for k, v in results.items() if "ratio" in v}
     summary = {
         "factor": factor,
+        "runs_per_side": runs,
         "n_queries": len(results),
         "worst": dict(sorted(ok.items(), key=lambda kv: -kv[1]["ratio"])[:5]),
         "median_ratio": sorted(v["ratio"] for v in ok.values())[len(ok) // 2]

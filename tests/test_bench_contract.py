@@ -23,6 +23,7 @@ def test_bench_line_fits_driver_capture():
         "sf": 0.1,
         "detail": "BENCH_DETAIL.json",
         "extract_pages_per_min_per_core": 999999,
+        "extract_in_bench_pages_per_min_per_core": 999999,
     }
     line = json.dumps(out)
     assert "\n" not in line

@@ -296,3 +296,77 @@ class TestRound4PlanShapes:
             f"{plan.count('filter(')} filter() copies for "
             f"{n_word_langs} word-scored languages"
         )
+
+
+class TestAudit:
+    """plans.explain.audit: anti-pattern findings over the plan string.
+    Each pattern is provoked deliberately, then the registry's own
+    flagship entries are asserted free of error-severity hits — the
+    'plan QA gates CI' contract from the module docstring."""
+
+    @staticmethod
+    def _hits(findings, pattern):
+        return [f for f in findings if f["pattern"] == pattern]
+
+    def test_flags_cartesian_product(self, spark_noaqe):
+        from globallinks_spark.plans.explain import audit
+
+        # a tiny crossJoin plans as BroadcastNestedLoopJoin; the
+        # CartesianProduct node appears when neither side broadcasts
+        prev = spark_noaqe.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark_noaqe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark_noaqe.range(10)
+            b = spark_noaqe.range(10).withColumnRenamed("id", "id2")
+            got = audit(a.crossJoin(b))
+        finally:
+            spark_noaqe.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prev
+            )
+        assert self._hits(got, "CartesianProduct"), got
+
+    def test_flags_python_udf(self, spark_noaqe):
+        from pyspark.sql.functions import udf
+
+        from globallinks_spark.plans.explain import audit
+
+        slow = udf(lambda x: x + 1, "bigint")
+        got = audit(spark_noaqe.range(10).select(slow("id").alias("y")))
+        assert self._hits(got, "BatchEvalPython"), got
+
+    def test_flags_single_partition_exchange(self, spark_noaqe):
+        from pyspark.sql import Window
+
+        from globallinks_spark.plans.explain import audit
+
+        w = Window.orderBy("id")  # global window → SinglePartition
+        got = audit(
+            spark_noaqe.range(10).withColumn("rn", F.row_number().over(w))
+        )
+        assert self._hits(got, "Exchange SinglePartition"), got
+
+    def test_shuffle_count_reported(self, spark_noaqe):
+        from globallinks_spark.plans.explain import audit
+
+        got = audit(
+            spark_noaqe.range(10).groupBy((F.col("id") % 3).alias("k"))
+            .count()
+        )
+        info = self._hits(got, "shuffle-count")
+        assert info and "1 exchange" in info[0]["detail"], got
+
+    @pytest.mark.parametrize("name", [
+        "pricing_summary", "compaction_merge", "dedup_minhash_lsh",
+        "join_enrich", "curation_pipeline",
+    ])
+    def test_registry_flagships_have_no_error_findings(
+        self, spark_noaqe, name
+    ):
+        from globallinks_spark.plans.explain import audit
+        from globallinks_spark.queries import REGISTRY
+
+        errors = [
+            f for f in audit(REGISTRY[name].fn(spark_noaqe, SF))
+            if f["severity"] == "error"
+        ]
+        assert errors == [], errors
