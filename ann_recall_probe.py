@@ -91,12 +91,19 @@ def main() -> None:
         for qid, qv in qrows:
             got = {int(r["vec_id"]) for r in topk_fn(qv).collect()}
             recalls.append(len(got & exact[qid]) / float(k))
+        mean_recall = sum(recalls) / len(recalls)
         results[name] = {
-            "recall_at_k": round(sum(recalls) / len(recalls), 4),
+            "recall_at_k": round(mean_recall, 4),
             "min_recall": round(min(recalls), 4),
             "queries_below_half": sum(1 for r in recalls if r < 0.5),
             "total_sec": round(time.perf_counter() - t0, 2),
             "candidate_fraction": round(cand_fraction, 5),
+            # recall ÷ candidate fraction: how much better than a
+            # random same-size candidate set. On near-uniform synthetic
+            # vectors absolute recall is bounded by data geometry (the
+            # true top-k sits at low cosine, spread across buckets), so
+            # the lift is the methodological signal.
+            "lift_over_random": round(mean_recall / cand_fraction, 1),
         }
         print(f"# {name}: mean {results[name]['recall_at_k']} "
               f"min {results[name]['min_recall']} "
@@ -120,6 +127,34 @@ def main() -> None:
             f"sign_lsh_bits{bits}_probe{n_probe}", lsh_topk, frac
         )
     bucketed.unpersist()
+
+    # random-projection sign-LSH (the production variant: seeded
+    # hyperplanes instead of the oracle-friendly coordinate axes).
+    # Multi-probe margins are the PROJECTED values h_j·q — probe_buckets
+    # consumes them exactly as it consumes raw coordinates for the
+    # axis variant (flip the smallest |margin| first).
+    from globallinks_spark.functions import vectors as V
+
+    dim = len(qrows[0][1])
+    M = V.projection_matrix(bits, dim)
+    rp = emb.withColumn(
+        "bucket", V.random_projection_bucket(F.col("embedding"), bits, dim)
+    ).persist()
+    rp.count()
+    for n_probe in (1, 4, 8):
+        frac = min(1.0, n_probe / float(1 << bits))
+
+        def rp_topk(qv, n_probe=n_probe):
+            margins = [
+                sum(h * x for h, x in zip(row, qv)) for row in M
+            ]
+            bl = S.probe_buckets(margins, bits, n_probe)
+            return S.cosine_topk(
+                rp.filter(F.col("bucket").isin(bl)), qv, k
+            )
+
+        run_variant(f"rp_lsh_bits{bits}_probe{n_probe}", rp_topk, frac)
+    rp.unpersist()
 
     # IVF: build the index ONCE (registry defaults: 16 cells, 2 Lloyd
     # iterations), cache the assignment, per-query probe the nearest
@@ -149,8 +184,64 @@ def main() -> None:
     assigned.unpersist()
     emb.unpersist()
 
+    # ------------------------------------------------------------------
+    # Pair-collision recall in the NEAR-DUP regime — the question the
+    # escape hatch actually answers ("unblocked corpora route to
+    # LSH/IVF"): of the true near-duplicate pairs (exact label-blocked
+    # all-pairs, cosine >= 0.35), what fraction lands in the same
+    # sign-LSH bucket (single table) or within the multi-probe set,
+    # stratified by cosine band? Collision probability rises with
+    # cosine ((1 - theta/pi)^bits), so this is measured, not assumed.
+    pairs = (
+        S.near_dup_pairs_vectorized(emb, threshold=0.35)
+        .join(emb.select(F.col("vec_id").alias("vec_a"),
+                         F.col("embedding").alias("emb_a")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"),
+                         F.col("embedding").alias("emb_b")), "vec_b")
+        .collect()
+    )  # bounded: the exact near-dup pair set (hundreds at 10x)
+
+    def _margins_axis(v):
+        return [float(x) for x in v[:8]]
+
+    def _margins_rp(v):
+        return [sum(h * float(x) for h, x in zip(row, v)) for row in M]
+
+    def _bucket(margins):
+        b = 0
+        for i, x in enumerate(margins):
+            if x > 0:
+                b |= 1 << i
+        return b
+
+    bands = [(0.35, 0.5), (0.5, 0.7), (0.7, 0.9), (0.9, 1.01)]
+    collision: dict[str, dict] = {}
+    for tag, marg in (("axis", _margins_axis), ("rp", _margins_rp)):
+        for n_probe in (1, 4, 8):
+            per_band = {}
+            for lo, hi in bands:
+                sel = [p for p in pairs if lo <= p["cosine"] < hi]
+                if not sel:
+                    per_band[f"{lo}-{hi if hi <= 1 else 1.0}"] = None
+                    continue
+                hit = 0
+                for p in sel:
+                    ma, mb = marg(p["emb_a"]), marg(p["emb_b"])
+                    probes_a = set(S.probe_buckets(ma, bits, n_probe))
+                    if _bucket(mb) in probes_a:
+                        hit += 1
+                per_band[f"{lo}-{hi if hi <= 1 else 1.0}"] = round(
+                    hit / len(sel), 3
+                )
+            collision[f"{tag}_probe{n_probe}"] = per_band
+    print(f"# pair-collision: {json.dumps(collision)}", file=sys.stderr)
+
     out = {
         "metric": "ann_recall_at_k",
+        "near_dup_pair_collision_recall_by_cosine_band": {
+            "n_pairs": len(pairs),
+            "bands": collision,
+        },
         "k": k,
         "n_queries": len(qrows),
         "n_vectors": n_total,
@@ -161,8 +252,18 @@ def main() -> None:
         "note": (
             "recall vs exact brute-force cosine top-k on the 10x "
             "isomorphic probe dataset; candidate_fraction = share of "
-            "the corpus scored per query (the latency lever). Shipped "
-            "defaults: bits=8 sign-LSH, 16-cell/2-iter IVF."
+            "the corpus scored per query (the latency lever); "
+            "lift_over_random = recall / candidate_fraction. The "
+            "synthetic embeddings are near-uniform outside their label "
+            "blocks, so absolute recall is geometry-bounded — the lift "
+            "shows each method concentrating true neighbors far above "
+            "a random candidate set. The near-dup regime the escape "
+            "hatch actually serves is measured separately in "
+            "near_dup_pair_collision_recall_by_cosine_band: collision "
+            "probability rises with cosine ((1-theta/pi)^bits), so read "
+            "the 0.9+ band for the dedup use case and size tables/"
+            "probes from it. Shipped defaults: bits=8 sign-LSH, "
+            "16-cell/2-iter IVF."
         ),
     }
     with open(out_json, "w", encoding="utf-8") as fh:

@@ -344,7 +344,13 @@ def near_dup_pairs_vectorized(
     EXACTLY on the threshold or a rounding boundary could in principle
     flip, so the parity test compares with that tolerance). At 100 TB
     the exact form is for bounded blocks (LSH buckets, IVF cells);
-    unblocked corpora go through the sign-LSH / IVF variants.
+    unblocked corpora block on ``V.random_projection_bucket`` (seeded
+    hyperplanes) or IVF cells — NOT the coordinate-axis
+    ``with_sign_bucket`` stand-in: the measured pair-collision recall
+    (ANN_RECALL.json, near_dup_pair_collision_recall_by_cosine_band)
+    rises with cosine for the projection variant (0.44 at probe8 in
+    the 0.7-0.9 band, the (1-θ/π)^bits curve) but collapses for the
+    axis variant (0.0 in the same band on this data).
 
     Small-scale guard: when no block exceeds ``tile_size`` (checked by
     one eager bounded aggregate — a partial-agg count per block, one
