@@ -105,6 +105,7 @@ def audit(df: DataFrame) -> list[dict]:
     - Exchange SinglePartition    warn   a stage collapses to one task;
                                          legitimate under a global
                                          limit/sort-tail, fatal mid-plan
+    - SortMergeJoin               info   broadcast/bucket candidates
     - ShuffleExchange count       info   reported for context
     """
     plan = plan_string(df, "simple")
@@ -141,6 +142,18 @@ def audit(df: DataFrame) -> list[dict]:
             "advice": "legitimate for a global scalar/limit tail or a "
                       "tiny offsets table (packing.py pins exactly one); "
                       "mid-plan on big data it is the scale killer",
+        })
+    n_smj = plan.count("SortMergeJoin")
+    if n_smj:
+        findings.append({
+            "pattern": "SortMergeJoin", "severity": "info",
+            "detail": f"{n_smj} sort-merge join(s): both sides shuffle "
+                      "AND sort on the join key",
+            "advice": "correct for two big sides; if one side is small "
+                      "or pre-filtered, broadcast() it (check estimates "
+                      "with explain mode 'cost'), or co-locate both "
+                      "sides with bucketBy to drop the exchanges "
+                      "(sources/bucketing.py)",
         })
     n_shuffle = plan.count("Exchange ") - plan.count("ReusedExchange")
     findings.append({

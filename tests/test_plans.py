@@ -370,3 +370,19 @@ class TestAudit:
             if f["severity"] == "error"
         ]
         assert errors == [], errors
+
+    def test_sortmergejoin_reported_as_info(self, spark_noaqe):
+        from globallinks_spark.plans.explain import audit
+
+        prev = spark_noaqe.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark_noaqe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark_noaqe.range(1000)
+            b = spark_noaqe.range(1000).withColumn("v", F.col("id") * 2)
+            got = audit(a.join(b, "id"))
+        finally:
+            spark_noaqe.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prev
+            )
+        smj = self._hits(got, "SortMergeJoin")
+        assert smj and smj[0]["severity"] == "info", got
