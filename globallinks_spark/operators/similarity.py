@@ -344,22 +344,28 @@ def near_dup_pairs_vectorized(
     EXACTLY on the threshold or a rounding boundary could in principle
     flip, so the parity test compares with that tolerance). At 100 TB
     the exact form is for bounded blocks (LSH buckets, IVF cells);
-    unblocked corpora block on ``V.random_projection_bucket`` (seeded
-    hyperplanes) or IVF cells — NOT the coordinate-axis
+    unblocked corpora route through :func:`route_ann` (measured-recall
+    table from ANN_RECALL.json) — ``V.random_projection_bucket``
+    (seeded hyperplanes) or IVF cells, NOT the coordinate-axis
     ``with_sign_bucket`` stand-in: the measured pair-collision recall
     (ANN_RECALL.json, near_dup_pair_collision_recall_by_cosine_band)
     rises with cosine for the projection variant (0.44 at probe8 in
     the 0.7-0.9 band, the (1-θ/π)^bits curve) but collapses for the
     axis variant (0.0 in the same band on this data).
 
-    Small-scale guard: when no block exceeds ``tile_size`` (checked by
-    one eager bounded aggregate — a partial-agg count per block, one
-    row to the driver) the counts-join/explode fan-out is skipped and
-    grouping is by the block key alone — the pre-tiling plan shape.
-    Round 5 measured the fan-out costing ~2 s at sf0.1 (one extra
-    shuffle + broadcast join) as pure insurance on data that never
-    tiles; the guard keeps small-scale latency at the old shape while
-    blocks that DO exceed tile_size still get the bounded-memory path.
+    The tile count is derived LAZILY inside the plan: a per-block count
+    (partial-agg shuffle of just the block key — column pruning reaches
+    the scan, so this pass reads ONE column) broadcast back onto the
+    rows sets ``__nt = ceil(n/tile_size)`` per block at EXECUTION time.
+    No job runs at plan-construction time (``explain``/``audit`` stay
+    job-free), and the bounded-memory guarantee holds against the data
+    actually materialized — a round-6 eager guard snapshot could go
+    stale if the source grew between plan build and execution
+    (ADVICE r6). When every block fits one tile, ``__nt = 1`` makes the
+    explode a 1:1 pass-through and the tile keys constant zeros, so the
+    shuffle volume equals the unfanned shape; the fanned plan scans the
+    full-width input exactly once (pinned by
+    tests/test_dedup_similarity.py::TestVectorizedNearDup).
     """
     import pandas as pd
 
@@ -436,21 +442,15 @@ def near_dup_pairs_vectorized(
         F.col(vec_col).alias("v"),
         F.col(partition_col).alias("p"),
     )
-    # per-block tile count from the block's row count (skew-aware); the
-    # count is a partial-agg shuffle on the same key the main exchange
-    # uses, and the result is broadcast back — no extra wide shuffle
-    counts = base.groupBy("p").agg(F.count(F.lit(1)).alias("__n"))
-    # small-scale guard (see docstring): one bounded eager aggregate —
-    # if every block fits a single tile, skip the fan-out entirely
-    max_row = counts.agg(F.max("__n").alias("m")).first()
-    max_n = max_row["m"] if max_row is not None else None
-    if max_n is None or max_n <= tile_size:
-        single = (
-            base.withColumn("__t", F.lit(0))
-            .withColumn("__t1", F.lit(0))
-            .withColumn("__t2", F.lit(0))
-        )
-        return single.groupBy("p").applyInPandas(tile_pairs, out_schema)
+    # per-block tile count from the block's row count (skew-aware),
+    # derived lazily in-plan: the count is a partial-agg shuffle pruned
+    # to the block key (a one-column scan), its tiny result is broadcast
+    # back, and __nt is evaluated per block at execution time — the
+    # bound holds against the data actually read, and building this
+    # DataFrame runs no job (see docstring).
+    counts = base.select("p").groupBy("p").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     fanned = (
         base.join(F.broadcast(counts), on="p")
         .withColumn(
@@ -467,6 +467,9 @@ def near_dup_pairs_vectorized(
         .withColumn("__o", F.explode(F.sequence(F.lit(0), F.col("__nt") - 1)))
         .withColumn("__t1", F.least("__t", "__o"))
         .withColumn("__t2", F.greatest("__t", "__o"))
+        # prune the bookkeeping columns BEFORE the applyInPandas
+        # exchange — __n/__nt/__o would otherwise ride the wide shuffle
+        .select("p", "id", "v", "__t", "__t1", "__t2")
     )
     return fanned.groupBy("p", "__t1", "__t2").applyInPandas(
         tile_pairs, out_schema

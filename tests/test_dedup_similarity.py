@@ -553,6 +553,52 @@ class TestVectorizedNearDup:
         for k, c in whole.items():
             assert abs(c - tiled[k]) <= 2e-4, (k, c, tiled[k])
 
+    def test_construction_runs_no_job(self, spark):
+        # The r6 small-scale guard ran an eager counts.agg(max).first()
+        # at DataFrame-construction time (ADVICE r6 medium): every
+        # spec.fn() / explain / audit on this operator executed a full
+        # aggregation pass, and the guard decision was a stale snapshot
+        # if the source grew before materialization. The tile count is
+        # now derived lazily in-plan — building the frame (and auditing
+        # it) must schedule zero Spark jobs.
+        from globallinks_spark.plans.explain import audit
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        emb.schema  # analysis (and any parquet footer job) paid here
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup())
+        df = S.near_dup_pairs_vectorized(emb, threshold=0.35)
+        findings = audit(df)
+        assert len(tracker.getJobIdsForGroup()) == before
+        assert not [f for f in findings if f["severity"] == "error"]
+
+    def test_fanned_plan_scans_input_once_full_width(self, spark):
+        # Scan accounting for the lazy fan-out (r6 verdict ask #2): the
+        # plan must contain exactly TWO parquet scan nodes — the
+        # full-width base scan and the per-block counts scan — and the
+        # counts scan must be pruned to the block key alone, so the
+        # only extra pass over the input at 100 TB reads one column.
+        # (The r6 eager-guard shape paid up to two extra FULL scans:
+        # one for the guard max, one recomputing counts in the join.)
+        import re
+
+        from globallinks_spark.plans.explain import plan_string
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        plan = plan_string(
+            S.near_dup_pairs_vectorized(emb, threshold=0.35), "formatted"
+        )
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        assert len(schemas) == 2, plan
+        col_sets = [
+            {c.split(":")[0] for c in s.split(",") if c} for s in schemas
+        ]
+        pruned = [s for s in col_sets if s == {"label"}]
+        full = [s for s in col_sets if {"vec_id", "embedding"} <= s]
+        assert len(pruned) == 1 and len(full) == 1, col_sets
+
 
 class TestMultiProbe:
     def test_probe_sequence_deterministic_and_ordered(self):
