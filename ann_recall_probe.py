@@ -156,32 +156,41 @@ def main() -> None:
         run_variant(f"rp_lsh_bits{bits}_probe{n_probe}", rp_topk, frac)
     rp.unpersist()
 
-    # IVF: build the index ONCE (registry defaults: 16 cells, 2 Lloyd
-    # iterations), cache the assignment, per-query probe the nearest
-    # n_probe cells — exactly ivf_topk's plan minus the per-call rebuild
-    n_cells, ivf_probe = 16, 2
-    t0 = time.perf_counter()
-    centroids, assigned = S.build_ivf_index(emb, n_cells=n_cells)
-    assigned = assigned.persist()
-    assigned.count()
-    t_build = time.perf_counter() - t0
+    # IVF sweep (r6 verdict #7): serving recall@10 was the weak row at
+    # the shipped default (cells16/probe2 = 0.48), so measure the
+    # recall/cost frontier across cells × probe — build each index
+    # ONCE, cache the assignment, per-query probe the nearest n_probe
+    # cells (exactly ivf_topk's plan minus the per-call rebuild).
+    # candidate_fraction ≈ n_probe/n_cells is the latency lever; the
+    # grid shows what fraction buys what recall on this geometry.
+    centroids = None  # the cells=16 centroids feed the planted-pair QA
+    for n_cells, probes in ((16, (2, 4, 8)), (64, (2, 4, 8, 16))):
+        t0 = time.perf_counter()
+        cents, assigned = S.build_ivf_index(emb, n_cells=n_cells)
+        assigned = assigned.persist()
+        assigned.count()
+        t_build = time.perf_counter() - t0
+        if n_cells == 16:
+            centroids = cents
 
-    def ivf_topk_cached(qv):
-        def d2(c):
-            return sum((a - b) * (a - b) for a, b in zip(qv, c))
-        probe = sorted(range(len(centroids)), key=lambda ci: d2(centroids[ci]))
-        return S.cosine_topk(
-            assigned.filter(F.col("cell").isin(*probe[:ivf_probe])), qv, k
-        )
+        for ivf_probe in probes:
+            def ivf_topk_cached(qv, cents=cents, assigned=assigned,
+                                ivf_probe=ivf_probe):
+                def d2(c):
+                    return sum((a - b) * (a - b) for a, b in zip(qv, c))
+                probe = sorted(
+                    range(len(cents)), key=lambda ci: d2(cents[ci])
+                )
+                return S.cosine_topk(
+                    assigned.filter(
+                        F.col("cell").isin(*probe[:ivf_probe])
+                    ), qv, k,
+                )
 
-    run_variant(
-        f"ivf_cells{n_cells}_probe{ivf_probe}", ivf_topk_cached,
-        ivf_probe / float(n_cells),
-    )
-    results[f"ivf_cells{n_cells}_probe{ivf_probe}"]["index_build_sec"] = round(
-        t_build, 2
-    )
-    assigned.unpersist()
+            name = f"ivf_cells{n_cells}_probe{ivf_probe}"
+            run_variant(name, ivf_topk_cached, ivf_probe / float(n_cells))
+            results[name]["index_build_sec"] = round(t_build, 2)
+        assigned.unpersist()
     emb.unpersist()
 
     # ------------------------------------------------------------------

@@ -6,11 +6,16 @@ SHORT JSON line:
  "sf": ..., "extract_pages_per_min_per_core": ...,
  "extract_in_bench_pages_per_min_per_core": ..., "detail": "BENCH_DETAIL.json"}
 
-`extract_pages_per_min_per_core` is measured in a FRESH subprocess JVM
-(bench_extract.py) — the figure comparable to the reference's
-fresh-process 300k pages/min/thread claim. The `extract_in_bench_*`
-sibling is the same kernel inside this long-lived JVM after the query
-catalog, documenting the in-process decay rather than hiding it.
+`extract_pages_per_min_per_core` is measured in FRESH subprocess JVMs
+(bench_extract.py, fixed best-of-5 with every run recorded) — the
+figure comparable to the reference's fresh-process 300k
+pages/min/thread claim. `extract_calibrated_median_pages_per_min_per_
+core` is the host-window-invariant form (median of per-run values
+calibrated by each run's own 8-core string-hash probe against a pinned
+reference probe time) — the number the 2× gate reads. The
+`extract_in_bench_*` sibling is the same kernel inside this long-lived
+JVM after the query catalog, documenting the in-process decay rather
+than hiding it.
 
 Full metadata (warmup/timing policy, extract breakdown, per-query row
 counts) goes to the BENCH_DETAIL.json sidecar — round 3's inline form
@@ -64,13 +69,15 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 DETAIL_PATH = os.path.join(_HERE, "BENCH_DETAIL.json")
 
 
-def _fresh_jvm_extract_once(n_pages: int, cores: int) -> dict | None:
+def _fresh_jvm_extract_once(
+    n_pages: int, cores: int, timeout_sec: int = 900,
+) -> dict | None:
     """One bench_extract.py subprocess (its own JVM); parsed JSON line."""
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(_HERE, "bench_extract.py"),
              str(n_pages), str(cores)],
-            capture_output=True, text=True, timeout=900, cwd=_HERE,
+            capture_output=True, text=True, timeout=timeout_sec, cwd=_HERE,
         )
     except (OSError, subprocess.TimeoutExpired) as exc:
         print(f"# fresh-JVM extract failed to launch: {exc}", file=sys.stderr)
@@ -87,50 +94,74 @@ def _fresh_jvm_extract_once(n_pages: int, cores: int) -> dict | None:
     return None
 
 
-def _fresh_jvm_extract(
-    n_pages: int = 100_000, cores: int = 8,
-    in_bench_value: int | None = None,
-) -> dict | None:
-    """Best of 2-4 FRESH-subprocess runs of the extract kernel. The
-    reference's 300k pages/min/thread figure is a fresh-process
-    measurement, so the gate-comparable number comes from an isolated
-    JVM — but single runs on driver-provisioned VMs swing up to 10×
-    with nothing else running (round 6 measured 20k/110k/238k/293k for
-    identical code within one hour; hypervisor co-tenancy invisible to
-    guest steal accounting). Policy: two runs, then up to two more
-    while the runs either disagree by >1.5× (noise) or the best sits
-    below 2/3 of the in-bench figure (`in_bench_value`) — the in-bench
-    measurement in THIS process proves the host can currently go that
-    fast, so a far-slower pair of fresh runs is a slow window, not the
-    plan (one r6 bench saw two AGREEING 65k fresh runs next to a 305k
-    in-bench). The BEST run is the headline (the reproducible cost of
-    the plan — the query loop's min-of-N rationale) and every run's
-    value is recorded in `runs_pages_per_min_per_core`."""
+# Pinned reference probe time for host-speed calibration: the 8-core
+# string-cast+xxhash64 probe (bench_extract.host_calibration) measured
+# 2.203 s on the round-6 judged host (Intel Xeon @ 2.10GHz, the host
+# whose best-of-4 fresh-JVM run recorded 387,877 pages/min/core,
+# BENCH_DETAIL r6). Every fresh-JVM run stamps its own probe time;
+# calibrated value = raw × (run_probe_sec / this pin), which maps each
+# run onto the pinned host's speed — a co-tenancy slow window inflates
+# both the extract time and the probe time, so the ratio cancels the
+# window to first order.
+PINNED_8CORE_STRHASH_SEC = 2.203
+EXTRACT_RUNS = 5
+
+
+def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
+    """Exactly EXTRACT_RUNS fresh-subprocess runs of the extract kernel
+    (each its own JVM). The reference's 300k pages/min/thread figure is
+    a fresh-process measurement, so the gate-comparable number comes
+    from isolated JVMs — but single runs on driver-provisioned VMs
+    swing up to 10× with nothing else running (round 6 measured
+    87k-388k for identical code; hypervisor co-tenancy invisible to
+    guest steal accounting). The run count is FIXED: round 6's
+    retry-while-slow rule resampled only in one direction, which biases
+    a max-of-N headline upward (ADVICE r6) — with a fixed N and every
+    run recorded, the sampling is symmetric.
+
+    Two headline forms, both recorded:
+      value                    best-of-N raw — symmetric vs the
+                               reference's "up to 300k" claim
+      value_calibrated_median  median of the per-run host-calibrated
+                               values (raw × run_probe/pinned probe,
+                               see PINNED_8CORE_STRHASH_SEC) — the
+                               host-window-invariant figure the 2×
+                               gate should read, per r6 verdict #1
+    """
+    import statistics
+
     results: list[dict] = []
-    for _ in range(2):
+    for _ in range(EXTRACT_RUNS):
         r = _fresh_jvm_extract_once(n_pages, cores)
         if r is not None:
             results.append(r)
             print(f"# fresh-JVM extract run: {r['value']} "
-                  f"(extract_sec {r['extract_sec']})", file=sys.stderr)
-    while results and len(results) < 4:
-        vals = sorted(r["value"] for r in results)
-        noisy = vals[-1] > 1.5 * vals[0]
-        below_in_bench = (
-            in_bench_value is not None and vals[-1] < in_bench_value / 1.5
-        )
-        if not (noisy or below_in_bench):
-            break
-        r = _fresh_jvm_extract_once(n_pages, cores)
-        if r is None:
-            break
-        results.append(r)
-        print(f"# fresh-JVM extract retry ({'noise' if noisy else 'slow window'}): "
-              f"{r['value']}", file=sys.stderr)
+                  f"(extract_sec {r['extract_sec']}, 8-core probe "
+                  f"{r.get('host', {}).get('jvm_8core_160M_strhash_sec')})",
+                  file=sys.stderr)
     if not results:
         return None
     best = max(results, key=lambda r: r["value"])
+    probes = [
+        r.get("host", {}).get("jvm_8core_160M_strhash_sec")
+        for r in results
+    ]
+    calibrated = [
+        round(r["value"] * p / PINNED_8CORE_STRHASH_SEC)
+        for r, p in zip(results, probes) if p
+    ]
     best["runs_pages_per_min_per_core"] = [r["value"] for r in results]
+    best["runs_8core_strhash_sec"] = probes
+    best["runs_calibrated_pages_per_min_per_core"] = calibrated
+    if calibrated:
+        best["value_calibrated_median"] = round(
+            statistics.median(calibrated)
+        )
+    best["calibration"] = (
+        f"raw × (run 8-core strhash probe / pinned "
+        f"{PINNED_8CORE_STRHASH_SEC} s, the round-6 judged host); "
+        f"median over {len(calibrated)} calibrated runs"
+    )
     return best
 
 
@@ -248,12 +279,7 @@ def main() -> None:
                                                cores=8)
         except Exception as exc:
             print(f"# in-bench extract failed: {exc}", file=sys.stderr)
-        extract = _fresh_jvm_extract(
-            n_pages=100_000, cores=8,
-            in_bench_value=(
-                extract_in_bench["value"] if extract_in_bench else None
-            ),
-        )
+        extract = _fresh_jvm_extract(n_pages=100_000, cores=8)
         if extract is None:
             # fall back to the in-bench figure rather than record nothing
             extract = extract_in_bench
@@ -322,6 +348,19 @@ def main() -> None:
     }
     if extract is not None:
         out["extract_pages_per_min_per_core"] = extract["value"]
+        if extract is extract_in_bench:
+            # ADVICE r6: a failed fresh-JVM launch must be visible in
+            # the one-line output, not only in the sidecar — otherwise
+            # a fallback round reads as a fresh-JVM measurement
+            out["extract_measurement"] = "in-bench-fallback"
+        else:
+            if "value_calibrated_median" in extract:
+                out["extract_calibrated_median_pages_per_min_per_core"] = (
+                    extract["value_calibrated_median"]
+                )
+            out["extract_runs_pages_per_min_per_core"] = extract.get(
+                "runs_pages_per_min_per_core"
+            )
     if extract_in_bench is not None:
         out["extract_in_bench_pages_per_min_per_core"] = (
             extract_in_bench["value"]

@@ -22,6 +22,71 @@ from pyspark.sql import types as T
 from globallinks_spark.functions import vectors as V
 
 
+# Measured pair-collision recall per blocking variant and cosine band —
+# the data behind route_ann(). Source: the ann_recall_probe.py runs
+# recorded in ANN_RECALL.json (r6): natural-pair bands from
+# near_dup_pair_collision_recall_by_cosine_band (46,639 pairs on the
+# 10× probe corpus) and, for the 0.9-1.0 band the natural set lacks,
+# planted exact-cosine pairs (v = c·u + sqrt(1-c²)·w, 108/level) taking
+# the MINIMUM over levels 0.90/0.95/0.99 as the conservative band
+# figure. Entries per band are ordered cheapest-first by
+# candidate_fraction (the share of the corpus each row is compared
+# against — the cost lever). The coordinate-axis with_sign_bucket
+# stand-in is deliberately ABSENT: its measured recall collapses to
+# 0.0 in the 0.7-0.9 band on this data (ANN_RECALL.json).
+#   (variant, params, measured_recall, candidate_fraction)
+ANN_ROUTING_TABLE: dict[str, list[tuple[str, dict, float, float]]] = {
+    "0.9-1.0": [
+        ("random_projection_bucket", {"bits": 8, "n_probe": 1}, 0.231, 0.0039),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 4}, 0.593, 0.0156),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 8}, 0.657, 0.0313),
+        ("ivf", {"n_cells": 16, "n_probe": 2}, 0.824, 0.125),
+    ],
+    "0.7-0.9": [
+        ("random_projection_bucket", {"bits": 8, "n_probe": 1}, 0.125, 0.0039),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 4}, 0.312, 0.0156),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 8}, 0.438, 0.0313),
+    ],
+    "0.5-0.7": [
+        ("random_projection_bucket", {"bits": 8, "n_probe": 1}, 0.045, 0.0039),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 4}, 0.126, 0.0156),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 8}, 0.178, 0.0313),
+    ],
+}
+
+
+def route_ann(
+    target_recall: float, min_cosine: float
+) -> tuple[str, dict]:
+    """Pick the cheapest MEASURED blocking config that met
+    ``target_recall`` for near-dup pairs at cosine ≥ ``min_cosine``
+    (r6 verdict #6: the routing decision lives in code, with
+    ANN_RECALL.json as its recorded evidence, not as prose pointing at
+    a JSON file). Returns ``(variant, params)``:
+
+    - ``("random_projection_bucket", {bits, n_probe})`` — seeded
+      hyperplane sign-LSH (functions/vectors.py), block key for
+      :func:`near_dup_pairs_vectorized`, probed via multi-probe.
+    - ``("ivf", {n_cells, n_probe})`` — k-means cells
+      (:func:`build_ivf_index`), compare within probed cells.
+    - ``("exact_tiled", {})`` — no measured approximate config reaches
+      the target in this band: run the tile-bounded exact path
+      (:func:`near_dup_pairs_vectorized` on whatever exact blocking the
+      data offers). This is always the answer below cosine 0.5 — LSH
+      collision probability (1-θ/π)^bits is geometry-bounded there.
+
+    The band figure is conservative (worst measured level within the
+    band), so a config this returns met the target at every measured
+    cosine level in the band."""
+    for lo, band in ((0.9, "0.9-1.0"), (0.7, "0.7-0.9"), (0.5, "0.5-0.7")):
+        if min_cosine >= lo:
+            for variant, params, recall, _frac in ANN_ROUTING_TABLE[band]:
+                if recall >= target_recall:
+                    return variant, dict(params)
+            return "exact_tiled", {}
+    return "exact_tiled", {}
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -19,7 +19,8 @@ from globallinks_spark.functions import vectors as V
 from globallinks_spark.queries_base import QuerySpec, _dec, _round2, load
 
 
-_roundtrip_live: dict[str, str] = {}
+_roundtrip_live: dict[str, list[str]] = {}
+_ROUNDTRIP_KEEP = 2
 
 
 def _roundtrip_dir(kind: str) -> str:
@@ -27,24 +28,27 @@ def _roundtrip_dir(kind: str) -> str:
     queries. A fixed path keyed only by the sf-dir basename lets
     concurrent executions (parallel pytest, bench + probe on dirs
     sharing a basename) interleave one process's write with another's
-    read-back; a fresh mkdtemp per call cannot collide. At most ONE
-    live dir per kind per process: the previous invocation's dir is
-    removed here, when its successor is created — bench/probe loops
-    call each roundtrip query several times per process, and without
-    the eviction /tmp grew by a full table copy per invocation. Safe
-    because every caller materializes its returned (lazy) frame before
-    the same query is invoked again, and the slot is per-process so
-    concurrent pytest workers never evict each other. The final dir is
-    removed at exit."""
+    read-back; a fresh mkdtemp per call cannot collide. The last TWO
+    dirs per kind per process stay live; older ones are removed when a
+    successor is created — bench/probe loops call each roundtrip query
+    several times per process, and without eviction /tmp grew by a
+    full table copy per invocation. Keeping depth 2 (not 1, ADVICE r6)
+    means a still-unmaterialized lazy frame from the PREVIOUS
+    invocation — e.g. a plan-only explain/audit consumer that never
+    collects, or a caller that builds before its predecessor
+    materializes — still resolves; a frame held across two further
+    invocations of the same query is the documented limit. The slot is
+    per-process, so concurrent pytest workers never evict each other.
+    Remaining dirs are removed at exit."""
     import atexit
     import shutil
     import tempfile
 
-    prev = _roundtrip_live.pop(kind, None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
+    live = _roundtrip_live.setdefault(kind, [])
+    while len(live) >= _ROUNDTRIP_KEEP:
+        shutil.rmtree(live.pop(0), ignore_errors=True)
     path = tempfile.mkdtemp(prefix=f"gl_{kind}_roundtrip_")
-    _roundtrip_live[kind] = path
+    live.append(path)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 

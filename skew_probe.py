@@ -1,0 +1,213 @@
+"""Skew-preservation audit for the scaling-probe derivation (r6
+verdict #5).
+
+The 10×/100× evidence in SCALING_SF*.json rides on the isomorphic
+derived datasets (scaling_probe.build). This probe answers two
+questions about them:
+
+1. **What happens to per-key frequency tails under the derivation?**
+   Measured per grouping key that a skew-sensitive registry entry
+   shuffles on. The derivation's rule decides the answer a priori —
+   this probe MEASURES it so SCALING.md can cite numbers:
+
+   - keys the derivation leaves UNSHIFTED (``l_returnflag`` for
+     top_k_per_group, embeddings ``label``): every key's absolute
+     count grows ×factor and its SHARE is exactly preserved — a true
+     Zipf-preserving scale-up; the existing 10×/100× ratios for those
+     entries already measure skew-growth behavior.
+   - keys the derivation SHIFTS per replica ((l_partkey, l_suppkey)
+     for compaction_merge; content-derived shingle/band keys for
+     dedup_groups after per-replica token renaming): the hottest
+     group's ABSOLUTE size stays constant while total rows grow
+     ×factor, so its share shrinks ×factor — the derived rung
+     UNDERSTATES hot-group growth for those entries.
+
+2. **Do the understated entries survive a Zipf-preserving rung?**
+   A skewed 10× rung where the grouping keys are NOT shifted:
+
+   - ``lineitem``: l_orderkey shifts (row identity), l_partkey /
+     l_suppkey / l_returnflag keep their base values → every
+     (partkey, suppkey) group grows ×factor, share preserved.
+   - ``documents``: doc_id shifts; a 5% slice (doc_id % 20 == 0)
+     keeps its ORIGINAL text across replicas (real duplication: its
+     LSH buckets and dedup clusters grow ×factor), the rest get the
+     standard per-replica token renaming. This is the regime a 100 TB
+     crawl actually presents — most new content distinct, a hot slice
+     duplicated everywhere.
+
+   compaction_merge / top_k_per_group / dedup_groups are timed at
+   sf0.1 vs the skewed rung (noop-sink materialization, min-of-2,
+   same policy as scaling_probe.py), with output row counts recorded
+   — dedup_groups' output legitimately grows on the skewed rung
+   because duplicated docs produce real dup-group rows.
+
+Writes SKEW_PROBE.json. Usage: python skew_probe.py [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from scaling_probe import KEY_OFF, SRC, _replicate
+
+SKEW_DIR_TMPL = "/tmp/sparklinks_sf{factor}x_skew"
+
+
+def key_tail(df, cols: list[str], top: int = 5) -> dict:
+    total = df.count()
+    rows = (
+        df.groupBy(*cols).count().orderBy(F.desc("count"))
+        .limit(top).collect()
+    )
+    return {
+        "total_rows": total,
+        "top_counts": [r["count"] for r in rows],
+        "top1_share": round(rows[0]["count"] / total, 6) if rows else None,
+    }
+
+
+def measure_tails(spark: SparkSession, dirs: dict[str, str]) -> dict:
+    """Per-key frequency tails for the skew-sensitive grouping keys, at
+    every rung in ``dirs`` (tag -> dataset dir)."""
+    out: dict[str, dict] = {}
+    for tag, d in dirs.items():
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        # dedup_groups shuffles on content-derived shingle hashes; the
+        # top word frequency is the cheap observable proxy with the
+        # same derivation behavior (renamed tokens → disjoint keys)
+        words = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        out[tag] = {
+            "lineitem_partkey_suppkey": key_tail(
+                li, ["l_partkey", "l_suppkey"]),
+            "lineitem_returnflag": key_tail(li, ["l_returnflag"]),
+            "documents_word": key_tail(words, ["w"]),
+            "embeddings_label": key_tail(emb, ["label"]),
+        }
+    return out
+
+
+def build_skewed(spark: SparkSession, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    def off(col: str):
+        return (F.col(col) + F.col("__r") * F.lit(KEY_OFF)).alias(col)
+
+    # lineitem: group keys (partkey, suppkey, returnflag) UNSHIFTED
+    _replicate(spark, f"{SRC}/lineitem.parquet", factor).select(
+        off("l_orderkey"), "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+    # documents: 5% verbatim duplicates across replicas, rest renamed
+    docs = _replicate(spark, f"{SRC}/documents.parquet", factor)
+    renamed = F.when(
+        (F.col("__r") == 0) | (F.col("doc_id") % 20 == 0), F.col("text")
+    ).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("x"), F.col("__r")),
+            ),
+            " ",
+        )
+    )
+    docs.select(
+        off("doc_id"), renamed.alias("text"), "lang", "source",
+        F.length(renamed).cast("long").alias("n_chars"),
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    skew_dir = SKEW_DIR_TMPL.format(factor=factor)
+
+    from globallinks_spark.queries import REGISTRY
+    from globallinks_spark.session import get_spark
+
+    spark = get_spark(app_name="skew_probe")
+
+    if not os.path.exists(f"{skew_dir}/_BUILT"):
+        t0 = time.perf_counter()
+        build_skewed(spark, skew_dir, factor)
+        open(f"{skew_dir}/_BUILT", "w").close()
+        print(f"# built {skew_dir} in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+
+    # tails at sf0.1 and (when present) the standard derived rungs
+    dirs = {"sf0.1": SRC}
+    for f_ in (factor, 100):
+        d = f"/tmp/sparklinks_sf{f_}x"
+        if os.path.exists(f"{d}/_BUILT"):
+            dirs[f"derived_{f_}x"] = d
+    dirs[f"skewed_{factor}x"] = skew_dir
+    # the skewed dir only carries lineitem/documents; patch the
+    # remaining tables through from sf0.1 for the tail pass
+    for t in ("embeddings",):
+        dst = f"{skew_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+                "overwrite").parquet(dst)
+
+    tails = measure_tails(spark, dirs)
+
+    entries = ("compaction_merge", "top_k_per_group", "dedup_groups")
+    results: dict[str, dict] = {}
+    for name in entries:
+        spec = REGISTRY[name]
+        spec.fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()  # codegen warm
+        times, rows = {}, {}
+        for tag, d in (("sf0.1", SRC), (f"skewed_{factor}x", skew_dir)):
+            best = float("inf")
+            for _ in range(2):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                spec.fn(spark, d).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            times[tag] = round(best, 3)
+            rows[tag] = spec.fn(spark, d).count()
+        ratio = round(
+            times[f"skewed_{factor}x"] / max(times["sf0.1"], 1e-9), 2
+        )
+        results[name] = {**times, "ratio": ratio, "rows": rows}
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    out = {
+        "metric": "skew_preservation_probe",
+        "factor": factor,
+        "key_frequency_tails": tails,
+        "skewed_rung": results,
+        "derivation_rules": {
+            "preserved_share": ["l_returnflag", "embeddings.label"],
+            "constant_absolute": [
+                "(l_partkey, l_suppkey)", "documents shingle/band keys",
+            ],
+            "skewed_rung_rule": "group keys unshifted (lineitem); 5% "
+                                "verbatim duplicate docs (documents)",
+        },
+    }
+    with open("SKEW_PROBE.json", "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in ("metric", "factor")}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,8 @@ def test_bench_line_fits_driver_capture():
         "sf": 0.1,
         "detail": "BENCH_DETAIL.json",
         "extract_pages_per_min_per_core": 999999,
+        "extract_calibrated_median_pages_per_min_per_core": 999999,
+        "extract_runs_pages_per_min_per_core": [999999] * 5,
         "extract_in_bench_pages_per_min_per_core": 999999,
     }
     line = json.dumps(out)
@@ -31,6 +33,37 @@ def test_bench_line_fits_driver_capture():
     # r02's ~1.5k-char 48-entry line parsed; r03's ~2.6k-char 84-entry
     # line did not. Stay under 2,000 with margin.
     assert len(line) < 2000, f"bench line grew to {len(line)} chars"
+
+
+def test_extract_policy_fixed_runs_and_calibrated_median(monkeypatch):
+    """r6 verdict #1 + ADVICE: the fresh-JVM policy is a FIXED run
+    count (no resample-until-fast bias) and the headline carries a
+    host-calibrated median — raw × (run probe / pinned probe), median
+    over runs — alongside the best-of-N raw value."""
+    import bench
+
+    # five runs whose raw values are perfectly explained by host-window
+    # speed (probe time doubles → raw halves): calibration must map all
+    # of them onto the same pinned-host value
+    pin = bench.PINNED_8CORE_STRHASH_SEC
+    raws = [300_000, 150_000, 100_000, 200_000, 75_000]
+    probes = [pin, 2 * pin, 3 * pin, 1.5 * pin, 4 * pin]
+    runs = iter([
+        {"value": v, "extract_sec": 1.0,
+         "host": {"jvm_8core_160M_strhash_sec": p}}
+        for v, p in zip(raws, probes)
+    ])
+    calls = []
+    monkeypatch.setattr(
+        bench, "_fresh_jvm_extract_once",
+        lambda n, c: calls.append(1) or next(runs),
+    )
+    got = bench._fresh_jvm_extract(n_pages=1000, cores=8)
+    assert len(calls) == bench.EXTRACT_RUNS == 5
+    assert got["value"] == 300_000  # best-of-N raw kept
+    assert got["runs_pages_per_min_per_core"] == raws
+    assert got["runs_calibrated_pages_per_min_per_core"] == [300_000] * 5
+    assert got["value_calibrated_median"] == 300_000
 
 
 def test_registry_stays_at_fifty():

@@ -600,6 +600,55 @@ class TestVectorizedNearDup:
         assert len(pruned) == 1 and len(full) == 1, col_sets
 
 
+class TestRouteAnn:
+    """route_ann encodes ANN_RECALL.json's measured recall curves as a
+    code-level routing decision (r6 verdict #6). Pins: the judged
+    calls — 0.9+ band routes to IVF probe2 for high targets and rp-LSH
+    multi-probe for moderate ones; the mid band degrades to rp probe8
+    then exact; low-cosine regimes are exact-only; the axis stand-in
+    (0.0 measured recall in 0.7-0.9) is never returned."""
+
+    def test_high_band_routes(self):
+        assert S.route_ann(0.8, 0.9) == ("ivf", {"n_cells": 16, "n_probe": 2})
+        assert S.route_ann(0.5, 0.9) == (
+            "random_projection_bucket", {"bits": 8, "n_probe": 4})
+        assert S.route_ann(0.6, 0.95) == (
+            "random_projection_bucket", {"bits": 8, "n_probe": 8})
+        # beyond the best measured config: exact, never extrapolate
+        assert S.route_ann(0.95, 0.99) == ("exact_tiled", {})
+
+    def test_mid_and_low_bands(self):
+        assert S.route_ann(0.4, 0.7) == (
+            "random_projection_bucket", {"bits": 8, "n_probe": 8})
+        assert S.route_ann(0.5, 0.7) == ("exact_tiled", {})
+        assert S.route_ann(0.15, 0.5) == (
+            "random_projection_bucket", {"bits": 8, "n_probe": 8})
+        # below cosine 0.5 nothing is measured to work: exact only
+        assert S.route_ann(0.1, 0.35) == ("exact_tiled", {})
+
+    def test_cheapest_first_and_no_axis_variant(self):
+        for band, rows in S.ANN_ROUTING_TABLE.items():
+            fracs = [frac for _, _, _, frac in rows]
+            assert fracs == sorted(fracs), band
+            assert all(v != "sign_bucket" for v, _, _, _ in rows), band
+
+    def test_table_matches_recorded_artifact(self):
+        # the table's provenance: every 0.7-0.9-band figure must equal
+        # the committed ANN_RECALL.json measurement it cites
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ANN_RECALL.json",
+        )
+        bands = json.load(open(path))[
+            "near_dup_pair_collision_recall_by_cosine_band"]["bands"]
+        for variant, params, recall, _ in S.ANN_ROUTING_TABLE["0.7-0.9"]:
+            key = f"rp_probe{params['n_probe']}"
+            assert abs(bands[key]["0.7-0.9"] - recall) < 1e-9
+
+
 class TestMultiProbe:
     def test_probe_sequence_deterministic_and_ordered(self):
         q = [0.01, -0.5, 0.02, 3.0, -0.03, 1.0, -2.0, 0.5]

@@ -355,18 +355,23 @@ class TestAudit:
         info = self._hits(got, "shuffle-count")
         assert info and "1 exchange" in info[0]["detail"], got
 
-    @pytest.mark.parametrize("name", [
-        "pricing_summary", "compaction_merge", "dedup_minhash_lsh",
-        "join_enrich", "curation_pipeline",
-    ])
-    def test_registry_flagships_have_no_error_findings(
+    @pytest.mark.parametrize("name", sorted(FULL_REGISTRY))
+    def test_every_registry_entry_has_no_error_findings(
         self, spark_noaqe, name
     ):
+        """Blanket plan-QA gate (r6 verdict #4): EVERY query the engine
+        ships — all FULL_REGISTRY entries, not just flagships — must
+        plan free of error-severity anti-patterns (CartesianProduct,
+        BatchEvalPython). A future query smuggling a row-at-a-time
+        Python UDF or an unconditioned cross join fails CI by name.
+        warn/info findings stay allowed: the legitimate ones
+        (packing's single pinned SinglePartition tail, interval-join
+        BNLJ fallbacks on tiny sides) are asserted individually
+        elsewhere in this file."""
         from globallinks_spark.plans.explain import audit
-        from globallinks_spark.queries import REGISTRY
 
         errors = [
-            f for f in audit(REGISTRY[name].fn(spark_noaqe, SF))
+            f for f in audit(FULL_REGISTRY[name].fn(spark_noaqe, SF))
             if f["severity"] == "error"
         ]
         assert errors == [], errors

@@ -149,3 +149,25 @@ class TestChecksumSensitivity:
         assert (got["n_rows"], got["nn"], got["chk"]) == (
             oracle[1], oracle[2], oracle[3]
         )
+
+
+class TestRoundtripDirEviction:
+    def test_keeps_last_two_dirs_per_kind(self, tmp_path, monkeypatch):
+        """ADVICE r6: a still-unmaterialized lazy frame from the
+        PREVIOUS invocation must still resolve — eviction keeps the
+        last TWO dirs per kind and removes older ones, bounding /tmp
+        growth without breaking one-invocation-delayed consumers."""
+        import os
+
+        from globallinks_spark import queries_ext as QX
+
+        monkeypatch.setattr(QX, "_roundtrip_live", {})
+        d1 = QX._roundtrip_dir("t")
+        d2 = QX._roundtrip_dir("t")
+        assert os.path.isdir(d1) and os.path.isdir(d2)  # depth 2 live
+        d3 = QX._roundtrip_dir("t")
+        assert not os.path.exists(d1)  # oldest evicted
+        assert os.path.isdir(d2) and os.path.isdir(d3)
+        # kinds are independent slots
+        o1 = QX._roundtrip_dir("other")
+        assert os.path.isdir(o1) and os.path.isdir(d2) and os.path.isdir(d3)
