@@ -164,7 +164,11 @@ def main() -> None:
     # candidate_fraction ≈ n_probe/n_cells is the latency lever; the
     # grid shows what fraction buys what recall on this geometry.
     centroids = None  # the cells=16 centroids feed the planted-pair QA
-    for n_cells, probes in ((16, (2, 4, 8)), (64, (2, 4, 8, 16))):
+    # probe 10/12 on cells16 chart where the ≥0.9 crossing sits on this
+    # geometry (near-uniform synthetic vectors push the true top-k
+    # across many cells, so high serving recall costs a large fraction
+    # HERE — the planted-pair dedup regime below is the cheap one)
+    for n_cells, probes in ((16, (2, 4, 8, 10, 12)), (64, (2, 4, 8, 16))):
         t0 = time.perf_counter()
         cents, assigned = S.build_ivf_index(emb, n_cells=n_cells)
         assigned = assigned.persist()
