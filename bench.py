@@ -165,6 +165,28 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     return best
 
 
+def _fallback_extract(extract_in_bench: dict) -> dict:
+    """When every fresh-JVM launch fails, fall back to the in-bench
+    figure rather than record nothing — flagged as such everywhere
+    (ADVICE r6: the one-line output carries
+    extract_measurement=in-bench-fallback), and still carrying a
+    calibrated value (its own host probe × the pin) so README's
+    existence claim on value_calibrated_median survives a fallback
+    round."""
+    extract = dict(extract_in_bench)
+    probe = extract.get("host", {}).get("jvm_8core_160M_strhash_sec")
+    if probe:
+        extract["value_calibrated_median"] = round(
+            extract["value"] * probe / PINNED_8CORE_STRHASH_SEC
+        )
+        extract["calibration"] = (
+            f"IN-BENCH FALLBACK single run × (probe / pinned "
+            f"{PINNED_8CORE_STRHASH_SEC} s)"
+        )
+    extract["fallback_in_bench"] = True
+    return extract
+
+
 def _materialize(df) -> None:
     """Evaluate EVERY output column (noop sink). See module docstring —
     count() lets ColumnPruning skip unreferenced aggregate functions."""
@@ -280,9 +302,8 @@ def main() -> None:
         except Exception as exc:
             print(f"# in-bench extract failed: {exc}", file=sys.stderr)
         extract = _fresh_jvm_extract(n_pages=100_000, cores=8)
-        if extract is None:
-            # fall back to the in-bench figure rather than record nothing
-            extract = extract_in_bench
+        if extract is None and extract_in_bench is not None:
+            extract = _fallback_extract(extract_in_bench)
 
     # member-level attribution for the folded suite entries —
     # SPARK_GRAFT_MEMBER_DETAIL=1 times each underlying FULL_REGISTRY
@@ -326,9 +347,12 @@ def main() -> None:
         detail["suite_members_sec"] = members
     if extract is not None:
         detail["extract"] = dict(
-            extract, measurement="fresh-JVM subprocess (bench_extract.py)"
-        ) if extract is not extract_in_bench else dict(
-            extract, measurement="in-bench (fresh-JVM launch failed)"
+            extract,
+            measurement=(
+                "in-bench (fresh-JVM launch failed)"
+                if extract.get("fallback_in_bench")
+                else "fresh-JVM subprocess (bench_extract.py)"
+            ),
         )
     if extract_in_bench is not None:
         detail["extract_in_bench"] = extract_in_bench
@@ -348,16 +372,16 @@ def main() -> None:
     }
     if extract is not None:
         out["extract_pages_per_min_per_core"] = extract["value"]
-        if extract is extract_in_bench:
+        if "value_calibrated_median" in extract:
+            out["extract_calibrated_median_pages_per_min_per_core"] = (
+                extract["value_calibrated_median"]
+            )
+        if extract.get("fallback_in_bench"):
             # ADVICE r6: a failed fresh-JVM launch must be visible in
             # the one-line output, not only in the sidecar — otherwise
             # a fallback round reads as a fresh-JVM measurement
             out["extract_measurement"] = "in-bench-fallback"
         else:
-            if "value_calibrated_median" in extract:
-                out["extract_calibrated_median_pages_per_min_per_core"] = (
-                    extract["value_calibrated_median"]
-                )
             out["extract_runs_pages_per_min_per_core"] = extract.get(
                 "runs_pages_per_min_per_core"
             )
