@@ -553,6 +553,23 @@ class TestVectorizedNearDup:
         for k, c in whole.items():
             assert abs(c - tiled[k]) <= 2e-4, (k, c, tiled[k])
 
+    def test_null_block_key_pairs_nothing_like_expression_form(self, spark):
+        # Null block keys never pair: the expression form's a.p == b.p
+        # is null-unsafe, and the lazy fan-out's inner counts join
+        # drops null-p rows the same way. (The old eager small-path
+        # grouped nulls into a block and COULD pair them — an
+        # inconsistency with the expression form, gone since r7.)
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], None), (2, [1.0, 0.0], None),
+             (3, [0.0, 1.0], "a"), (4, [0.0, 1.0], "a")],
+            "vec_id long, embedding array<float>, label string",
+        )
+        expr = {(r.vec_a, r.vec_b) for r in
+                S.near_dup_pairs(df, threshold=0.5).collect()}
+        vec = {(r.vec_a, r.vec_b) for r in
+               S.near_dup_pairs_vectorized(df, threshold=0.5).collect()}
+        assert expr == vec == {(3, 4)}
+
     def test_construction_runs_no_job(self, spark):
         # The r6 small-scale guard ran an eager counts.agg(max).first()
         # at DataFrame-construction time (ADVICE r6 medium): every
