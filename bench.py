@@ -157,6 +157,7 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
         best["value_calibrated_median"] = round(
             statistics.median(calibrated)
         )
+    best["pinned_probe_sec"] = PINNED_8CORE_STRHASH_SEC
     best["calibration"] = (
         f"raw × (run 8-core strhash probe / pinned "
         f"{PINNED_8CORE_STRHASH_SEC} s, the round-6 judged host); "
@@ -179,6 +180,7 @@ def _fallback_extract(extract_in_bench: dict) -> dict:
         extract["value_calibrated_median"] = round(
             extract["value"] * probe / PINNED_8CORE_STRHASH_SEC
         )
+        extract["pinned_probe_sec"] = PINNED_8CORE_STRHASH_SEC
         extract["calibration"] = (
             f"IN-BENCH FALLBACK single run × (probe / pinned "
             f"{PINNED_8CORE_STRHASH_SEC} s)"
