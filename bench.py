@@ -152,16 +152,44 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     ]
     best["runs_pages_per_min_per_core"] = [r["value"] for r in results]
     best["runs_8core_strhash_sec"] = probes
+    best["runs_extract_sec"] = [r.get("extract_sec") for r in results]
     best["runs_calibrated_pages_per_min_per_core"] = calibrated
     if calibrated:
-        best["value_calibrated_median"] = round(
-            statistics.median(calibrated)
-        )
+        # ADVICE r7 (medium): the probe is pure CPU while the extract
+        # kernel also has I/O/GC/shuffle components, so on a host slow
+        # for NON-CPU reasons the ratio over-corrects and the calibrated
+        # figure could exceed any rate actually achieved anywhere.
+        # Calibration may only CANCEL noise, never manufacture
+        # throughput: the gate value is capped at the best RAW rate
+        # this sample actually measured.
+        uncapped = round(statistics.median(calibrated))
+        cap = max(r["value"] for r in results)
+        best["value_calibrated_median_uncapped"] = uncapped
+        best["value_calibrated_median"] = min(uncapped, cap)
+        best["calibration_cap_raw_best"] = cap
+        best["calibration_capped"] = uncapped > cap
+        # linearity evidence for the calibration assumption: across the
+        # sample, a slower probe should mean a proportionally slower
+        # extract. Pearson r between per-run probe time and extract
+        # time — recorded so a round where the correlation collapses
+        # (host slow for non-CPU reasons) is self-diagnosing.
+        xs = [p for p in probes if p]
+        ys = [r.get("extract_sec") for r, p in zip(results, probes) if p]
+        if len(xs) >= 3 and len(set(xs)) > 1 and len(set(ys)) > 1:
+            mx, my = statistics.fmean(xs), statistics.fmean(ys)
+            sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            sxx = sum((x - mx) ** 2 for x in xs)
+            syy = sum((y - my) ** 2 for y in ys)
+            best["probe_extract_sec_pearson_r"] = round(
+                sxy / (sxx * syy) ** 0.5, 3
+            )
     best["pinned_probe_sec"] = PINNED_8CORE_STRHASH_SEC
     best["calibration"] = (
         f"raw × (run 8-core strhash probe / pinned "
         f"{PINNED_8CORE_STRHASH_SEC} s, the round-6 judged host); "
-        f"median over {len(calibrated)} calibrated runs"
+        f"median over {len(calibrated)} calibrated runs, capped at the "
+        f"best raw rate in the sample (calibration cancels noise, "
+        f"never manufactures throughput)"
     )
     return best
 
@@ -170,20 +198,23 @@ def _fallback_extract(extract_in_bench: dict) -> dict:
     """When every fresh-JVM launch fails, fall back to the in-bench
     figure rather than record nothing — flagged as such everywhere
     (ADVICE r6: the one-line output carries
-    extract_measurement=in-bench-fallback), and still carrying a
-    calibrated value (its own host probe × the pin) so README's
-    existence claim on value_calibrated_median survives a fallback
-    round."""
+    extract_measurement=in-bench-fallback). ADVICE r7: the calibrated
+    figure lands under a DISTINCT field name
+    (``value_calibrated_fallback``) — ``value_calibrated_median``
+    promises a median of fresh-JVM runs, and a consumer keying on that
+    name alone must never read a single warm in-process run as the
+    headline; tests/test_bench_contract.py pins the absence."""
     extract = dict(extract_in_bench)
     probe = extract.get("host", {}).get("jvm_8core_160M_strhash_sec")
     if probe:
-        extract["value_calibrated_median"] = round(
+        extract["value_calibrated_fallback"] = round(
             extract["value"] * probe / PINNED_8CORE_STRHASH_SEC
         )
         extract["pinned_probe_sec"] = PINNED_8CORE_STRHASH_SEC
         extract["calibration"] = (
             f"IN-BENCH FALLBACK single run × (probe / pinned "
-            f"{PINNED_8CORE_STRHASH_SEC} s)"
+            f"{PINNED_8CORE_STRHASH_SEC} s) — NOT a fresh-JVM median; "
+            f"see value_calibrated_fallback"
         )
     extract["fallback_in_bench"] = True
     return extract
@@ -381,8 +412,14 @@ def main() -> None:
         if extract.get("fallback_in_bench"):
             # ADVICE r6: a failed fresh-JVM launch must be visible in
             # the one-line output, not only in the sidecar — otherwise
-            # a fallback round reads as a fresh-JVM measurement
+            # a fallback round reads as a fresh-JVM measurement.
+            # ADVICE r7: the fallback's calibrated value rides its own
+            # field name, never value_calibrated_median's.
             out["extract_measurement"] = "in-bench-fallback"
+            if "value_calibrated_fallback" in extract:
+                out["extract_calibrated_fallback_pages_per_min_per_core"] = (
+                    extract["value_calibrated_fallback"]
+                )
         else:
             out["extract_runs_pages_per_min_per_core"] = extract.get(
                 "runs_pages_per_min_per_core"

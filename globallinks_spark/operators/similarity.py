@@ -423,14 +423,32 @@ def near_dup_pairs_vectorized(
     the scan, so this pass reads ONE column) broadcast back onto the
     rows sets ``__nt = ceil(n/tile_size)`` per block at EXECUTION time.
     No job runs at plan-construction time (``explain``/``audit`` stay
-    job-free), and the bounded-memory guarantee holds against the data
-    actually materialized — a round-6 eager guard snapshot could go
-    stale if the source grew between plan build and execution
-    (ADVICE r6). When every block fits one tile, ``__nt = 1`` makes the
+    job-free), and the count snapshot is taken at EXECUTION time rather
+    than plan-construction time — that closes the round-6 eager guard's
+    staleness window between building the plan and running it
+    (ADVICE r6), but the counts subquery still executes as its own
+    broadcast job scanning the source independently of the main
+    full-width pass, so a NON-STATIC source that grows between the two
+    jobs can under-count ``__n`` and loosen the tile_size² bound for
+    the growth (ADVICE r7); on snapshot-isolated sources (parquet, any
+    table read at one version) the two scans see identical data. When
+    every block fits one tile, ``__nt = 1`` makes the
     explode a 1:1 pass-through and the tile keys constant zeros, so the
     shuffle volume equals the unfanned shape; the fanned plan scans the
     full-width input exactly once (pinned by
     tests/test_dedup_similarity.py::TestVectorizedNearDup).
+
+    Null block keys: rows with a NULL ``partition_col`` are EXCLUDED
+    from pairing — the counts equi-join is null-unsafe, matching the
+    expression form's null-unsafe self-join on the same key (a NULL
+    key never equals another NULL), so neither path ever exact-compares
+    null-key rows. This is parity by design (pinned by
+    tests/test_dedup_similarity.py::
+    test_null_block_key_pairs_nothing_like_expression_form); callers
+    with null-key rows that SHOULD be compared must coalesce the key
+    to a sentinel block first (ADVICE r7: the drop is silent — it is
+    the same silence as every null-unsafe join in SQL, documented here
+    so it is a contract, not a surprise).
     """
     import pandas as pd
 
