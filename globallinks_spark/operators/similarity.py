@@ -24,23 +24,27 @@ from globallinks_spark.functions import vectors as V
 
 # Measured pair-collision recall per blocking variant and cosine band —
 # the data behind route_ann(). Source: the ann_recall_probe.py runs
-# recorded in ANN_RECALL.json (r6): natural-pair bands from
+# recorded in ANN_RECALL.json (r8): natural-pair bands from
 # near_dup_pair_collision_recall_by_cosine_band (46,639 pairs on the
 # 10× probe corpus) and, for the 0.9-1.0 band the natural set lacks,
-# planted exact-cosine pairs (v = c·u + sqrt(1-c²)·w, 108/level) taking
-# the MINIMUM over levels 0.90/0.95/0.99 as the conservative band
-# figure. Entries per band are ordered cheapest-first by
-# candidate_fraction (the share of the corpus each row is compared
+# planted exact-cosine pairs (v = c·u + sqrt(1-c²)·w) on a DENSE
+# 0.90-0.99 grid (step 0.01, 584 pairs per level — r7 verdict #5;
+# was 3 levels × 108) taking the MINIMUM over the ten levels as the
+# conservative band figure. Entries per band are ordered cheapest-first
+# by candidate_fraction (the share of the corpus each row is compared
 # against — the cost lever). The coordinate-axis with_sign_bucket
 # stand-in is deliberately ABSENT: its measured recall collapses to
 # 0.0 in the 0.7-0.9 band on this data (ANN_RECALL.json).
+# tests/test_dedup_similarity.py::TestRouteAnn recomputes every band
+# figure from the committed artifact, so this table cannot drift from
+# the measurement without a named failure.
 #   (variant, params, measured_recall, candidate_fraction)
 ANN_ROUTING_TABLE: dict[str, list[tuple[str, dict, float, float]]] = {
     "0.9-1.0": [
-        ("random_projection_bucket", {"bits": 8, "n_probe": 1}, 0.231, 0.0039),
-        ("random_projection_bucket", {"bits": 8, "n_probe": 4}, 0.593, 0.0156),
-        ("random_projection_bucket", {"bits": 8, "n_probe": 8}, 0.657, 0.0313),
-        ("ivf", {"n_cells": 16, "n_probe": 2}, 0.824, 0.125),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 1}, 0.271, 0.0039),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 4}, 0.622, 0.0156),
+        ("random_projection_bucket", {"bits": 8, "n_probe": 8}, 0.675, 0.0313),
+        ("ivf", {"n_cells": 16, "n_probe": 2}, 0.808, 0.125),
     ],
     "0.7-0.9": [
         ("random_projection_bucket", {"bits": 8, "n_probe": 1}, 0.125, 0.0039),
@@ -85,6 +89,57 @@ def route_ann(
                     return variant, dict(params)
             return "exact_tiled", {}
     return "exact_tiled", {}
+
+
+# Measured top-k SERVING recall per query-time variant — the data
+# behind route_ann_topk(). Source: ANN_RECALL.json:.variants (r8 run,
+# 20 queries × recall@10 vs exact brute force on the 10× probe
+# corpus). candidate_fraction here is the variant's EQUIVALENT
+# full-precision-scan fraction: rows_scored × bytes_per_row_ratio +
+# rerank_rows_fraction — packed int4 codes cost ceil(dim/2) bytes/row
+# vs 4·dim float32 (0.125), so scanning every row's CODE is 8× cheaper
+# than scanning every row's vector; the decomposition is recorded per
+# variant in the artifact. Pure-IVF rows are the geometry ceiling this
+# corpus imposes on row-pruning alone (cells 64/128/256 plateau at
+# 0.55-0.71 below fraction 0.19 — more cells do not help when the true
+# top-k sits barely above background cosine); the SQ re-rank rows are
+# the byte-pruning path that reaches ≥0.9 recall at ≤0.15 equivalent
+# fraction (r7 verdict #1). Ordered cheapest-first.
+#   (variant, params, measured_recall_at_10, candidate_fraction)
+SERVING_ROUTING_TABLE: list[tuple[str, dict, float, float]] = [
+    ("ivf_sq_rerank",
+     {"n_cells": 16, "n_probe": 10, "nbits": 4, "pool": 50},
+     0.95, 0.08063),
+    ("sq_rerank", {"nbits": 4, "pool": 50}, 1.0, 0.1275),
+    ("sq_rerank", {"nbits": 8, "pool": 50}, 1.0, 0.2525),
+    ("ivf", {"n_cells": 16, "n_probe": 10}, 0.95, 0.625),
+]
+
+
+def route_ann_topk(target_recall: float) -> tuple[str, dict]:
+    """Pick the cheapest MEASURED serving config whose recall@10 met
+    ``target_recall`` on the probe corpus (the top-k sibling of
+    :func:`route_ann`, which routes the near-dup PAIR regime).
+    Returns ``(variant, params)``:
+
+    - ``("ivf_sq_rerank", {n_cells, n_probe, nbits, pool})`` —
+      IVF cell pruning (rows) × packed SQ codes (bytes) × exact
+      re-rank: :func:`build_ivf_index` + :func:`sq_index` with
+      ``keep_cols=("cell",)`` + :func:`sq_rerank_topk` over the probed
+      cells' index slice.
+    - ``("sq_rerank", {nbits, pool})`` — full-corpus code scan +
+      exact re-rank (:func:`sq_rerank_topk`); recall 1.0 measured.
+    - ``("ivf", {n_cells, n_probe})`` — plain IVF, full-width scoring
+      of probed cells (:func:`ivf_topk`).
+    - ``("exact_brute", {})`` — nothing measured meets the target:
+      :func:`cosine_topk`.
+
+    tests/test_dedup_similarity.py::TestRouteAnnTopk pins every row to
+    the committed ANN_RECALL.json measurement."""
+    for variant, params, recall, _frac in SERVING_ROUTING_TABLE:
+        if recall >= target_recall:
+            return variant, dict(params)
+    return "exact_brute", {}
 
 
 def cosine_topk(
@@ -369,6 +424,217 @@ def ivf_topk(
 
     probe = sorted(range(len(centroids)), key=lambda ci: d2(centroids[ci]))
     cands = assigned.filter(F.col("cell").isin(*probe[:n_probe]))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (SQ) codes + exact re-rank — the serving-regime ANN
+# that is actually sublinear in BYTES on this corpus's geometry
+# (r7 verdict #1). Pure-IVF recall@10 is geometry-bounded here: the
+# 10th neighbor sits at cosine ~0.32 against a ~0.24 background, so no
+# partitioning concentrates the true top-k into a small row fraction
+# (measured: cells16/probe10 = 0.95 recall at 0.625 of the rows;
+# cells128/probe16 = ~0.52 at 0.125 — ANN_RECALL.json). The scan-cost
+# lever that DOES work is per-row bytes: quantize each vector to
+# packed 4-bit (or 8-bit) codes, score EVERY candidate's code (exact
+# integer dot, elementwise float64 rescale), keep a small pool by
+# quantized score, then exact-cosine re-rank only the pool at full
+# precision. ScaNN / FAISS-SQ shape. At dim 64 / float32 input, packed
+# int4 codes are 32 bytes/row vs 256 — a full-corpus code scan costs
+# 0.125 of a full-precision scan, and the re-rank touches pool/N rows.
+
+_SQ_LIM = {4: 7, 8: 127}
+
+
+def _sq_quantize(M, scales, nbits: int):
+    """float64 matrix → integer codes: floor(x/scale*lim + 0.5), the
+    pure-IEEE half-up rounding both engines (and Python) compute
+    bit-identically. Zero-scale rows (zero vectors) code to 0."""
+    import numpy as np
+
+    lim = _SQ_LIM[nbits]
+    s = np.where(scales > 0, scales, 1.0)[:, None]
+    return np.floor(M / s * lim + 0.5).astype(np.int32)
+
+
+def _sq_pack(codes, nbits: int) -> list[bytes]:
+    """Integer codes → packed bytes: int8 verbatim for nbits=8; for
+    nbits=4 two codes per byte as (v+8) nibbles, low nibble = even
+    dim, zero-padded to even length. Lossless (see _sq_unpack)."""
+    import numpy as np
+
+    if nbits == 8:
+        return [row.tobytes() for row in codes.astype(np.int8)]
+    u = (codes + 8).astype(np.uint8)
+    if u.shape[1] % 2:
+        u = np.pad(u, ((0, 0), (0, 1)), constant_values=8)
+    packed = u[:, 0::2] | (u[:, 1::2] << 4)
+    return [row.tobytes() for row in packed]
+
+
+def _sq_unpack(buf: bytes, dim: int, nbits: int):
+    """Inverse of _sq_pack for one row."""
+    import numpy as np
+
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if nbits == 8:
+        return raw.astype(np.int8).astype(np.int32)[:dim]
+    out = np.empty(raw.size * 2, dtype=np.int32)
+    out[0::2] = raw & 0xF
+    out[1::2] = raw >> 4
+    return out[:dim] - 8
+
+
+def sq_index(
+    embeddings: DataFrame,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build the SQ index frame: (id, sq_code binary, sq_scale,
+    sq_norm[, keep_cols…]). ``sq_scale``/``sq_norm`` are JVM column
+    expressions (array_max(|x|), sequential-fold norm) so the DuckDB
+    oracle computes bit-identical doubles; packing runs in one Arrow
+    batch pass. ``keep_cols`` carries blocking columns (an IVF cell, an
+    LSH bucket) into the index so a serving scan can prune candidates
+    before scoring codes. At 100 TB this is the offline index build —
+    write the result (WITHOUT the embedding column) id-bucketed, and
+    the serving scan reads only these narrow columns."""
+    import pandas as pd
+
+    if nbits not in _SQ_LIM:
+        raise ValueError(f"nbits must be one of {sorted(_SQ_LIM)}")
+    id_type = embeddings.schema[id_col].dataType
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array_max(F.transform(F.col(vec_col), lambda x:
+                                F.abs(x.cast("double")))).alias("sq_scale"),
+        V.norm(F.col(vec_col)).alias("sq_norm"),
+        *[F.col(c) for c in keep_cols],
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("sq_code", T.BinaryType()),
+            T.StructField("sq_scale", T.DoubleType()),
+            T.StructField("sq_norm", T.DoubleType()),
+        ]
+        + [embeddings.schema[c] for c in keep_cols]
+    )
+
+    def pack(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(
+                lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
+            scales = pdf["sq_scale"].to_numpy(dtype=np.float64)
+            codes = _sq_quantize(M, scales, nbits)
+            out = {
+                "id": pdf["id"].to_numpy(),
+                "sq_code": _sq_pack(codes, nbits),
+                "sq_scale": scales,
+                "sq_norm": pdf["sq_norm"].to_numpy(dtype=np.float64),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(pack, out_schema)
+
+
+def sq_scores(
+    index: DataFrame,
+    query_vec: list[float],
+    nbits: int = 8,
+) -> DataFrame:
+    """Quantized cosine approximation per index row: exact integer
+    code dot, rescaled elementwise as
+    ``dot * sq_scale * qscale / lim² / (sq_norm * qnorm)`` — fixed
+    left-assoc float64 order, no summation, so the DuckDB oracle's
+    identical formula reproduces every bit. Query-side params are pure
+    Python over the query vector (sequential sum for the norm, same
+    fold order as the engines)."""
+    import math
+
+    lim = _SQ_LIM[nbits]
+    dim = len(query_vec)
+    qscale = max(abs(float(x)) for x in query_vec) or 1.0
+    qcode = [math.floor(float(x) / qscale * lim + 0.5) for x in query_vec]
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    id_type = index.schema["id"].dataType
+    out_schema = T.StructType([
+        T.StructField("id", id_type),
+        T.StructField("approx", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qc = np.asarray(qcode, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([
+                _sq_unpack(b, dim, nbits) for b in pdf["sq_code"]
+            ]).astype(np.int64)
+            dots = C @ qc  # exact integers
+            scales = pdf["sq_scale"].to_numpy(dtype=np.float64)
+            norms = pdf["sq_norm"].to_numpy(dtype=np.float64)
+            denom = np.where(norms > 0, norms, 1.0) * qnorm
+            approx = dots.astype(np.float64) * scales * qscale \
+                / float(lim * lim) / denom
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "approx": approx})
+
+    return index.mapInPandas(score, out_schema)
+
+
+def sq_rerank_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    nbits: int = 8,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage exact-recall-oriented ANN: (1) score scalar-quantized
+    codes for every candidate and keep the top ``pool`` by quantized
+    score (ties broken by id — deterministic, oracle-replayable);
+    (2) exact-cosine re-rank only the pool at full precision.
+
+    Pass a persisted :func:`sq_index` frame (optionally pre-filtered to
+    IVF cells / LSH buckets — the stages compose) to make stage 1 scan
+    codes only; otherwise the index derives inline from ``embeddings``
+    (one extra pass, same result — the sf-test shape).
+
+    Cost accounting at scale (the ANN_RECALL.json fields): stage 1
+    touches every candidate row but only ceil(dim·nbits/8) code bytes
+    per row vs 4·dim float32 bytes — nbits=4 is 0.125 of a
+    full-precision scan; stage 2 is ``pool`` rows at full width
+    (id-keyed point lookups against a bucketed corpus table at scale;
+    a broadcast-id semi-join locally). Measured on the 10× probe
+    corpus: recall@10 = 1.00 at pool=50/nbits=4 — the quantization
+    error (≤ scale/14 per dim) is far below the ~0.08 cosine gap the
+    pool cutoff must resolve, and the final ordering is exact by
+    construction."""
+    idx = index if index is not None else sq_index(
+        embeddings, nbits, id_col, vec_col
+    )
+    pool_ids = (
+        sq_scores(idx, query_vec, nbits)
+        .orderBy(F.col("approx").desc(), F.col("id").asc())
+        .limit(pool)
+        .select(F.col("id").alias(id_col))
+    )
+    cands = embeddings.join(F.broadcast(pool_ids), on=id_col)
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 

@@ -451,6 +451,65 @@ FROM cands ORDER BY cosine DESC, vec_id LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# Q: ann_sq_rerank — two-stage scalar-quantized serving ANN (r7 verdict
+# #1): score packed int4 codes for EVERY row (32 bytes/row vs 256
+# float32 — 0.125 of a full-precision scan), keep the top-50 pool by
+# quantized score, exact-cosine re-rank the pool. The oracle replays
+# the quantization math directly (packing is a lossless storage layout,
+# round-trip pinned by tests/test_dedup_similarity.py::TestSqRerank);
+# scale/norm are sequential-fold doubles on both engines, the code dot
+# is exact integers, and the approx formula is the same left-assoc
+# float64 expression — so the pool cutoff and the final top-k replay
+# bit-identically.
+
+_SQ_NBITS = 4
+_SQ_POOL = 50
+
+
+def q_ann_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import sq_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sq_rerank_topk(emb, qvec, k=10, pool=_SQ_POOL, nbits=_SQ_NBITS)
+
+
+def _sql_ann_sq_rerank(nbits: int = _SQ_NBITS, pool: int = _SQ_POOL) -> str:
+    lim = {4: 7, 8: 127}[nbits]
+    lim2 = float(lim * lim)
+    amax = "list_max(list_transform({c}, x -> abs(CAST(x AS DOUBLE))))"
+    return f"""
+WITH qp AS (
+  SELECT embedding AS qv,
+    CASE WHEN {amax.format(c='embedding')} > 0
+         THEN {amax.format(c='embedding')} ELSE 1.0 END AS qscale,
+    {V.norm_sql('embedding')} AS qnorm
+  FROM embeddings WHERE vec_id = 0
+), idx AS (
+  SELECT vec_id, embedding AS v,
+    {amax.format(c='embedding')} AS s,
+    CASE WHEN {amax.format(c='embedding')} > 0
+         THEN {amax.format(c='embedding')} ELSE 1.0 END AS sq,
+    {V.norm_sql('embedding')} AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(1, len(v) + 1),
+      i -> CAST(floor(CAST(v[i] AS DOUBLE) / sq * {lim} + 0.5) AS BIGINT)
+         * CAST(floor(CAST(qv[i] AS DOUBLE) / qscale * {lim} + 0.5) AS BIGINT)
+    )) AS DOUBLE) * s * qscale / {lim2}
+      / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END * qnorm) AS approx
+  FROM idx, qp
+), pool AS (
+  SELECT vec_id FROM scored ORDER BY approx DESC, vec_id LIMIT {pool}
+)
+SELECT e.vec_id, round({V.cosine_sql('e.embedding', 'qp.qv')}, 4) AS cosine
+FROM embeddings e JOIN pool USING (vec_id), qp
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: knn_join — batch kNN: top-3 corpus neighbors for each of 5 query
 # vectors (broadcast nested loop + per-query window top-k).
 
@@ -2753,6 +2812,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "embedding_dedup_groups": QuerySpec(
         q_embedding_dedup_groups, _sql_embedding_dedup_groups()
     ),
+    "ann_sq_rerank": QuerySpec(q_ann_sq_rerank, _sql_ann_sq_rerank()),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
     "ann_multiprobe": QuerySpec(q_ann_multiprobe, SQL_ANN_MULTIPROBE),
     "ann_random_projection": QuerySpec(

@@ -225,12 +225,18 @@ CHECKSUM_SUITES: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
             ("purchase_id", "int"), ("user_id", "int"), ("n_clicks", "int"),
             ("click_value", "float")]),
     ],
-    # corpus-governance QA: LSH precision/recall, benchmark contamination,
-    # training-set assembly, per-domain caps, language-mix resampling
+    # corpus-governance QA: benchmark contamination, training-set
+    # assembly, per-domain caps, language-mix resampling.
+    # r8 (verdict #3): dedup_eval and ann_recall are DEMOTED to the
+    # local FULL_REGISTRY oracle check — they were 8.3 s + 2.4 s of the
+    # suite's ~20 s driver time, and every computation they run is
+    # already a driver row of its own (dedup_eval re-executes
+    # dedup_ngram_jaccard + dedup_minhash_lsh; ann_recall re-executes
+    # ann_ivf + embedding_cosine_topk), so the driver gate lost no
+    # operator coverage; their precision/recall REPORTS stay
+    # cell-for-cell DuckDB-verified every pytest session
+    # (tests/test_queries_oracle.py over FULL_REGISTRY).
     "corpus_qa_suite": [
-        ("dedup_eval", [
-            ("n_true", "int"), ("n_lsh", "int"), ("n_common", "int"),
-            ("precision", "float"), ("recall", "float")]),
         ("contamination_check", [
             ("train_id", "int"), ("bench_id", "int"), ("n_overlap", "int"),
             ("overlap_frac", "float")]),
@@ -242,8 +248,6 @@ CHECKSUM_SUITES: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
         ("mix_resample", [
             ("lang", "str"), ("n_docs", "int"), ("rate_bp", "int"),
             ("n_kept", "int")]),
-        ("ann_recall", [
-            ("k", "int"), ("n_common", "int"), ("recall", "float")]),
         # text-profile QA members (r05): these rode the text_quality /
         # repetition_profile / doc_fingerprint wide joins in r04; the
         # public names now return their ORIGINAL schemas again, and the
@@ -375,7 +379,8 @@ def _long_form_entry(name: str, base: dict[str, QuerySpec]) -> QuerySpec:
 # full-fidelity tagged unions / wide joins
 
 def _ann_lsh_suite(base: dict[str, QuerySpec]) -> QuerySpec:
-    members = ["ann_sign_lsh", "ann_multiprobe", "ann_random_projection"]
+    members = ["ann_sign_lsh", "ann_multiprobe", "ann_random_projection",
+               "ann_sq_rerank"]
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
@@ -468,7 +473,8 @@ def suite_members() -> dict[str, list[str]]:
         for name, members in _LONG_FORM.items()
     })
     out["ann_lsh_suite"] = [
-        "ann_sign_lsh", "ann_multiprobe", "ann_random_projection"]
+        "ann_sign_lsh", "ann_multiprobe", "ann_random_projection",
+        "ann_sq_rerank"]
     out["multimodal_suite"] = ["multimodal_meta", "frame_sample"]
     out["rollup_cube_revenue"] = ["rollup_revenue", "cube_revenue"]
     return out

@@ -93,6 +93,10 @@ def measure_tails(spark: SparkSession, dirs: dict[str, str]) -> dict:
             "documents_word": key_tail(words, ["w"]),
             "embeddings_label": key_tail(emb, ["label"]),
         }
+        ev_path = f"{d}/events.parquet"
+        if os.path.exists(ev_path):
+            out[tag]["events_user"] = key_tail(
+                spark.read.parquet(ev_path), ["user_id"])
     return out
 
 
@@ -109,6 +113,17 @@ def build_skewed(spark: SparkSession, out_dir: str, factor: int) -> None:
         "l_returnflag", "l_linestatus", "l_shipdate",
     ).repartition(factor).write.mode("overwrite").parquet(
         f"{out_dir}/lineitem.parquet"
+    )
+
+    # events: user_id UNSHIFTED (r7 verdict #4) — every per-user group
+    # grows ×factor inside the SAME time range, the hot-user regime the
+    # standard derivation's key shift hides from the windowed/sessional
+    # entries (events_suite shuffles on user_id for gap_fill / anomaly
+    # lookbacks / session windows / stream-stream attribution)
+    _replicate(spark, f"{SRC}/events.parquet", factor).select(
+        off("event_id"), "ts", "user_id", "event_type", "value", "props",
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
     )
 
     # documents: 5% verbatim duplicates across replicas, rest renamed
@@ -141,7 +156,11 @@ def main() -> None:
 
     spark = get_spark(app_name="skew_probe")
 
-    if not os.path.exists(f"{skew_dir}/_BUILT"):
+    # events joined the skewed build in r8 — a dir built by an earlier
+    # round lacks it, so the build flag alone is not enough
+    if not os.path.exists(f"{skew_dir}/_BUILT") or not os.path.exists(
+        f"{skew_dir}/events.parquet"
+    ):
         t0 = time.perf_counter()
         build_skewed(spark, skew_dir, factor)
         open(f"{skew_dir}/_BUILT", "w").close()
@@ -165,7 +184,17 @@ def main() -> None:
 
     tails = measure_tails(spark, dirs)
 
-    entries = ("compaction_merge", "top_k_per_group", "dedup_groups")
+    # r7 verdict #4: ≥6 skew-exposed entries, each with BOTH the wall
+    # ratio and an output-normalized ratio — dedup_groups' output
+    # legitimately grows ~14× on the skewed rung (duplicated docs make
+    # real dup groups), so time-per-output-row separates work growth
+    # from skew sensitivity. events_suite / tfidf_top_terms /
+    # dedup_minhash_lsh are the added top shuffle entries (user_id,
+    # term, and band-key shuffles respectively).
+    entries = (
+        "compaction_merge", "top_k_per_group", "dedup_groups",
+        "events_suite", "tfidf_top_terms", "dedup_minhash_lsh",
+    )
     results: dict[str, dict] = {}
     for name in entries:
         spec = REGISTRY[name]
@@ -183,10 +212,21 @@ def main() -> None:
                 spark.catalog.clearCache()
             times[tag] = round(best, 3)
             rows[tag] = spec.fn(spark, d).count()
-        ratio = round(
-            times[f"skewed_{factor}x"] / max(times["sf0.1"], 1e-9), 2
-        )
-        results[name] = {**times, "ratio": ratio, "rows": rows}
+        skew_tag = f"skewed_{factor}x"
+        ratio = round(times[skew_tag] / max(times["sf0.1"], 1e-9), 2)
+        # seconds per 1k output rows on each side; their quotient is the
+        # output-normalized ratio (1.0 = time tracked output exactly)
+        per_row = {
+            tag: round(times[tag] / max(rows[tag], 1) * 1000, 4)
+            for tag in times
+        }
+        results[name] = {
+            **times, "ratio": ratio, "rows": rows,
+            "sec_per_1k_output_rows": per_row,
+            "ratio_per_output_row": round(
+                per_row[skew_tag] / max(per_row["sf0.1"], 1e-12), 2
+            ),
+        }
         print(f"# {name}: {results[name]}", file=sys.stderr)
 
     out = {

@@ -629,7 +629,11 @@ class TestRouteAnn:
         assert S.route_ann(0.8, 0.9) == ("ivf", {"n_cells": 16, "n_probe": 2})
         assert S.route_ann(0.5, 0.9) == (
             "random_projection_bucket", {"bits": 8, "n_probe": 4})
+        # r8 dense planted grid lifted rp4's band minimum to 0.622, so
+        # a 0.6 target now routes to the cheaper probe4 config
         assert S.route_ann(0.6, 0.95) == (
+            "random_projection_bucket", {"bits": 8, "n_probe": 4})
+        assert S.route_ann(0.65, 0.95) == (
             "random_projection_bucket", {"bits": 8, "n_probe": 8})
         # beyond the best measured config: exact, never extrapolate
         assert S.route_ann(0.95, 0.99) == ("exact_tiled", {})
@@ -649,9 +653,8 @@ class TestRouteAnn:
             assert fracs == sorted(fracs), band
             assert all(v != "sign_bucket" for v, _, _, _ in rows), band
 
-    def test_table_matches_recorded_artifact(self):
-        # the table's provenance: every 0.7-0.9-band figure must equal
-        # the committed ANN_RECALL.json measurement it cites
+    @staticmethod
+    def _artifact():
         import json
         import os
 
@@ -659,11 +662,196 @@ class TestRouteAnn:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "ANN_RECALL.json",
         )
-        bands = json.load(open(path))[
-            "near_dup_pair_collision_recall_by_cosine_band"]["bands"]
-        for variant, params, recall, _ in S.ANN_ROUTING_TABLE["0.7-0.9"]:
-            key = f"rp_probe{params['n_probe']}"
-            assert abs(bands[key]["0.7-0.9"] - recall) < 1e-9
+        return json.load(open(path))
+
+    def test_table_matches_recorded_artifact_every_band(self):
+        """r7 verdict #7: EVERY band figure — not just 0.7-0.9 — must
+        equal the committed ANN_RECALL.json measurement it cites, so
+        the routing table cannot drift from the artifact in any band
+        without a named failure. The 0.9-1.0 band is the conservative
+        MINIMUM over the dense planted grid (0.90-0.99, step 0.01);
+        the natural bands come straight from the pair-collision
+        section."""
+        art = self._artifact()[
+            "near_dup_pair_collision_recall_by_cosine_band"]
+        bands, planted = art["bands"], art[
+            "planted_pairs_exact_cosine"]["levels"]
+        assert art["planted_pairs_exact_cosine"][
+            "n_pairs_per_level"] >= 500  # r7 verdict #5 density floor
+
+        def planted_min(key: str) -> float:
+            vals = [lv[key] for lv in planted.values()]
+            assert len(vals) >= 10  # the 0.90-0.99 grid, step 0.01
+            return min(vals)
+
+        for band, rows in S.ANN_ROUTING_TABLE.items():
+            for variant, params, recall, frac in rows:
+                if band == "0.9-1.0":
+                    key = (f"rp_probe{params['n_probe']}"
+                           if variant == "random_projection_bucket"
+                           else f"ivf_probe{params['n_probe']}")
+                    assert abs(planted_min(key) - recall) < 1e-9, (
+                        band, variant, params)
+                else:
+                    key = f"rp_probe{params['n_probe']}"
+                    assert abs(bands[key][band] - recall) < 1e-9, (
+                        band, variant, params)
+                # the cost column is the nominal share of the corpus a
+                # probed row meets: n_probe/2^bits (LSH), probe/cells
+                nominal = (params["n_probe"] / 256.0
+                           if variant == "random_projection_bucket"
+                           else params["n_probe"] / params["n_cells"])
+                assert abs(frac - round(nominal, 4)) < 6e-4, (
+                    band, variant, frac, nominal)
+
+
+class TestRouteAnnTopk:
+    """The serving-regime router (r7 verdict #1): every
+    SERVING_ROUTING_TABLE row is pinned to the committed ANN_RECALL
+    measurement, the done-criterion config (recall@10 ≥ 0.9 at
+    equivalent candidate fraction ≤ 0.15) exists, and routing picks
+    cheapest-first."""
+
+    _KEY = {
+        "ivf_sq_rerank": lambda p: (
+            f"ivf_cells{p['n_cells']}_probe{p['n_probe']}"
+            f"_sq{p['nbits']}_rerank{p['pool']}"),
+        "sq_rerank": lambda p: f"sq{p['nbits']}_rerank_pool{p['pool']}",
+        "ivf": lambda p: f"ivf_cells{p['n_cells']}_probe{p['n_probe']}",
+    }
+
+    def test_table_matches_recorded_artifact(self):
+        variants = TestRouteAnn._artifact()["variants"]
+        for variant, params, recall, frac in S.SERVING_ROUTING_TABLE:
+            row = variants[self._KEY[variant](params)]
+            assert abs(row["recall_at_k"] - recall) < 1e-9, variant
+            assert abs(row["candidate_fraction"] - frac) < 1e-9, variant
+
+    def test_sublinear_high_recall_config_exists(self):
+        # the r7 verdict #1 done-criterion, pinned as a test: at least
+        # one MEASURED config with recall@10 ≥ 0.9 at equivalent
+        # full-precision-scan fraction ≤ 0.15
+        winners = [
+            (v, p) for v, p, r, f in S.SERVING_ROUTING_TABLE
+            if r >= 0.9 and f <= 0.15
+        ]
+        assert winners, "no sublinear high-recall serving config"
+        # …and the artifact decomposes the winner's cost honestly
+        variants = TestRouteAnn._artifact()["variants"]
+        for v, p in winners:
+            row = variants[self._KEY[v](p)]
+            expect = (row["rows_scored_fraction"]
+                      * row["bytes_per_row_ratio"]
+                      + row["rerank_rows_fraction"])
+            assert abs(row["candidate_fraction"] - expect) < 1e-4
+
+    def test_cheapest_first_and_routing(self):
+        fracs = [f for _, _, _, f in S.SERVING_ROUTING_TABLE]
+        assert fracs == sorted(fracs)
+        assert S.route_ann_topk(0.9) == (
+            "ivf_sq_rerank",
+            {"n_cells": 16, "n_probe": 10, "nbits": 4, "pool": 50})
+        assert S.route_ann_topk(0.99) == (
+            "sq_rerank", {"nbits": 4, "pool": 50})
+        assert S.route_ann_topk(1.0) == (
+            "sq_rerank", {"nbits": 4, "pool": 50})
+        # above anything measured: exact, never extrapolate
+        assert S.route_ann_topk(1.01) == ("exact_brute", {})
+
+
+class TestSqRerank:
+    """Scalar-quantized serving ANN (r7 verdict #1): packed int4/int8
+    codes scored exactly (integer dot), small pool exact-re-ranked.
+    The quantization error bound (≤ scale/(2·lim) per dim) is far
+    below this data's pool-boundary cosine gaps, so the result must
+    EQUAL exact brute force here — recall is measured separately on
+    the 10× probe corpus (ANN_RECALL.json)."""
+
+    def test_pack_unpack_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        M = rng.standard_normal((17, 9))  # odd dim exercises padding
+        scales = np.abs(M).max(axis=1)
+        for nbits in (4, 8):
+            codes = S._sq_quantize(M, scales, nbits)
+            lim = S._SQ_LIM[nbits]
+            assert codes.min() >= -lim and codes.max() <= lim
+            unpacked = np.stack([
+                S._sq_unpack(b, 9, nbits) for b in S._sq_pack(codes, nbits)
+            ])
+            assert (unpacked == codes).all()
+
+    def test_quantize_zero_vector_codes_to_zero(self):
+        import numpy as np
+
+        Z = np.zeros((2, 6))
+        assert (S._sq_quantize(Z, np.zeros(2), 4) == 0).all()
+
+    def test_matches_exact_brute_force_both_widths(self, spark):
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        exact = [(r.vec_id, r.cosine)
+                 for r in S.cosine_topk(emb, q, k=10).collect()]
+        for nbits in (4, 8):
+            got = [(r.vec_id, r.cosine) for r in
+                   S.sq_rerank_topk(emb, q, k=10, pool=50,
+                                    nbits=nbits).collect()]
+            assert got == exact, nbits
+
+    def test_persisted_index_path_equals_inline(self, spark):
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+        inline = S.sq_rerank_topk(emb, q, k=5, pool=30, nbits=4).collect()
+        idx = S.sq_index(emb, nbits=4).persist()
+        try:
+            via_index = S.sq_rerank_topk(
+                emb, q, k=5, pool=30, nbits=4, index=idx
+            ).collect()
+        finally:
+            idx.unpersist()
+        assert via_index == inline
+
+    def test_index_is_narrow_and_binary(self, spark):
+        # the serving scan's whole point: the index frame carries only
+        # (id, 32-or-64-byte code, two doubles) — never the embedding
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        idx = S.sq_index(emb, nbits=4)
+        assert [f.name for f in idx.schema.fields] == [
+            "id", "sq_code", "sq_scale", "sq_norm"]
+        row = idx.first()
+        dim = len(emb.first()["embedding"])
+        assert len(row["sq_code"]) == (dim + 1) // 2  # packed nibbles
+
+    def test_rejects_unknown_nbits(self, spark, embeddings):
+        with pytest.raises(ValueError):
+            S.sq_index(embeddings, nbits=5)
+
+    def test_zero_vector_corpus_scores_zero_not_nan(self, spark):
+        # the SCORING stage must survive a zero vector (codes 0,
+        # approx 0.0 — guarded denominators, no NaN/ANSI error) and
+        # rank it below every real candidate. The exact RE-RANK keeps
+        # cosine_topk's pre-existing contract (ANSI divide-by-zero on
+        # zero-norm rows), so the pool here excludes it by rank.
+        rows = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+                (2, [0.5, 0.5, 0.0, 0.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        scored = {r.id: r.approx for r in
+                  S.sq_scores(S.sq_index(df, nbits=4),
+                              [1.0, 0.0, 0.0, 0.0], nbits=4).collect()}
+        assert scored[0] == 0.0 and scored[1] > scored[2] > 0.0
+        got = S.sq_rerank_topk(df, [1.0, 0.0, 0.0, 0.0], k=2,
+                               pool=2, nbits=4).collect()
+        assert [r.vec_id for r in got] == [1, 2]
 
 
 class TestMultiProbe:
