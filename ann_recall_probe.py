@@ -17,7 +17,13 @@ is not a trade-off.
 
 Index parameters match the registry queries' defaults (bits=8 sign-LSH,
 16-cell IVF, 2 Lloyd iterations) — the point is to QA the shipped
-configuration, not a tuned one.
+configuration, not a tuned one. r8 adds: a cells∈{128,256} pure-IVF
+sweep (pins the geometry ceiling for row pruning), the
+scalar-quantized re-rank variants (sq_index/sq_rerank_topk — the
+byte-pruning path; candidate_fraction becomes the EQUIVALENT
+full-precision-scan fraction with its decomposition recorded), and a
+dense 0.90-0.99 planted grid (step 0.01, ~584 pairs/level) behind the
+0.9-1.0 routing band.
 
 Usage: python ann_recall_probe.py [factor] [out_json] [k] [n_queries]
 Writes ANN_RECALL.json (committed artifact; README/SCALING.md cite it).

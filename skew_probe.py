@@ -239,8 +239,9 @@ def main() -> None:
             "constant_absolute": [
                 "(l_partkey, l_suppkey)", "documents shingle/band keys",
             ],
-            "skewed_rung_rule": "group keys unshifted (lineitem); 5% "
-                                "verbatim duplicate docs (documents)",
+            "skewed_rung_rule": "group keys unshifted (lineitem; "
+                                "events user_id); 5% verbatim "
+                                "duplicate docs (documents)",
         },
     }
     with open("SKEW_PROBE.json", "w", encoding="utf-8") as fh:
