@@ -835,6 +835,49 @@ class TestSqRerank:
         with pytest.raises(ValueError):
             S.sq_index(embeddings, nbits=5)
 
+    def test_keep_cols_carries_blocking_column(self, spark):
+        # the composed serving path (route_ann_topk's ivf_sq_rerank):
+        # the cell rides INTO the index so the scoring scan can prune
+        # rows before touching codes — filtering the index by cell must
+        # equal building the index over the pre-filtered corpus
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        cells = emb.withColumn("cell", (F.col("vec_id") % 4).cast("int"))
+        idx = S.sq_index(cells, nbits=4, keep_cols=("cell",))
+        assert "cell" in [f.name for f in idx.schema.fields]
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+        via_filter = S.sq_rerank_topk(
+            emb, q, k=5, pool=20, nbits=4,
+            index=idx.filter(F.col("cell").isin(0, 1)),
+        ).collect()
+        pre_filtered = cells.filter(F.col("cell").isin(0, 1))
+        via_prefilter = S.sq_rerank_topk(
+            pre_filtered, q, k=5, pool=20, nbits=4,
+        ).collect()
+        assert via_filter == via_prefilter
+
+    def test_pack_unpack_roundtrip_property(self):
+        # hypothesis-style sweep without Spark: every (dim, nbits)
+        # shape round-trips, including dim=1, even/odd dims, and
+        # extreme codes at ±lim
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        for dim in (1, 2, 3, 8, 15, 16, 33):
+            M = rng.uniform(-5, 5, size=(11, dim))
+            M[0, :] = 5.0    # all-max row → codes at +lim
+            M[1, :] = -5.0   # all-min row → codes at -lim
+            scales = np.abs(M).max(axis=1)
+            for nbits in (4, 8):
+                codes = S._sq_quantize(M, scales, nbits)
+                unpacked = np.stack([
+                    S._sq_unpack(b, dim, nbits)
+                    for b in S._sq_pack(codes, nbits)
+                ])
+                assert (unpacked == codes).all(), (dim, nbits)
+
     def test_zero_vector_corpus_scores_zero_not_nan(self, spark):
         # the SCORING stage must survive a zero vector (codes 0,
         # approx 0.0 — guarded denominators, no NaN/ANSI error) and
