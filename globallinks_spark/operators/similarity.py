@@ -638,6 +638,146 @@ def sq_rerank_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def sq_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 50,
+    nbits: int = 8,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch form of :func:`sq_rerank_topk` — the production serving
+    shape (:func:`knn_join`'s quantized sibling): for EVERY query row,
+    quantized-score the corpus codes, keep the top-``pool`` candidates
+    per query, exact-cosine re-rank only those pairs. Output
+    (query_id, vec_id, cosine), k rows per query.
+
+    Plan shape: the query matrix collects to the driver (the small
+    side by construction — same contract as knn_join's broadcast) and
+    its CODES ship as one broadcast variable; ONE Arrow pass over the
+    index computes the (batch × queries) integer dot and emits only
+    each batch's per-query top-``pool`` (map-side partial top-k, by
+    the same (approx desc, id asc) order as the global cut — lossless,
+    any global top-pool row is inside its batch's top-pool), so the
+    per-query shuffle carries ≤ pool rows per batch per query, never
+    the corpus. The re-rank joins ≤ pool·|Q| (query, id) pairs back to
+    full vectors. At 100 TB the scoring pass reads only the packed
+    code columns of a persisted :func:`sq_index`; pass it via
+    ``index``."""
+    import math
+
+    import numpy as np
+
+    lim = _SQ_LIM[nbits]
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = [r["query_id"] for r in qrows]
+    # query-side params in pure Python/elementwise numpy with the same
+    # fold orders as the SQL oracle: max/abs exact, norm a SEQUENTIAL
+    # sum (list_sum order), quantization the shared floor(+0.5) form
+    qscales, qnorms, qcodes = [], [], []
+    for r in qrows:
+        v = [float(x) for x in r["qv"]]
+        s = max(abs(x) for x in v) or 1.0
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        qscales.append(s)
+        qnorms.append(math.sqrt(acc))
+        qcodes.append([math.floor(x / s * lim + 0.5) for x in v])
+    dim = len(qrows[0]["qv"]) if qrows else 0
+
+    idx = index if index is not None else sq_index(
+        corpus, nbits, id_col, vec_col
+    )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast({
+        "qcodes": np.asarray(qcodes, dtype=np.int64),
+        "qscales": np.asarray(qscales, dtype=np.float64),
+        "qnorms": np.asarray(qnorms, dtype=np.float64),
+        "qids": qids,
+    })
+    qid_type = queries.schema[query_id_col].dataType
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", qid_type),
+        T.StructField("id", id_type),
+        T.StructField("approx", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+
+        Q = bc.value
+        qc = Q["qcodes"]
+        if qc.size == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([
+                _sq_unpack(b, dim, nbits) for b in pdf["sq_code"]
+            ]).astype(np.int64)
+            scales = pdf["sq_scale"].to_numpy(dtype=np.float64)
+            norms = pdf["sq_norm"].to_numpy(dtype=np.float64)
+            denom = np.where(norms > 0, norms, 1.0)
+            dots = (C @ qc.T).astype(np.float64)  # (batch, q), exact dot
+            approx = (dots * scales[:, None] * Q["qscales"][None, :]
+                      / float(lim * lim) / (denom[:, None]
+                                            * Q["qnorms"][None, :]))
+            ids = pdf["id"].to_numpy()
+            keep_n = min(pool, len(ids))
+            out_qid, out_id, out_ap = [], [], []
+            for qi in range(qc.shape[0]):
+                # per-query batch-local top-pool by (approx desc,
+                # id asc): lexsort's LAST key is primary
+                order = np.lexsort((ids, -approx[:, qi]))[:keep_n]
+                out_qid.extend([Q["qids"][qi]] * len(order))
+                out_id.extend(ids[order])
+                out_ap.extend(approx[order, qi])
+            yield pd.DataFrame({
+                "query_id": out_qid, "id": out_id, "approx": out_ap,
+            })
+
+    from pyspark.sql import Window
+
+    scored = idx.mapInPandas(score, out_schema)
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("id").asc()
+    )
+    pool_pairs = (
+        scored.withColumn("__rn", F.row_number().over(wpool))
+        .filter(F.col("__rn") <= pool)
+        .select("query_id", F.col("id").alias(id_col))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias("v")
+    )
+    exact = (
+        pool_pairs.join(c, id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", id_col,
+            F.round(V.cosine(F.col("v"), F.col("qv")), 4).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
 def near_dup_pairs_vectorized(
     embeddings: DataFrame,
     threshold: float = 0.9,

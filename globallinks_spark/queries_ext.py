@@ -510,6 +510,73 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Q: sq_knn_join — the BATCH form of ann_sq_rerank (knn_join's
+# quantized sibling, the production serving shape): per query,
+# quantized-score the corpus codes, top-50 pool, exact re-rank. Not a
+# driver row (the 50-entry cap; ann_sq_rerank already driver-checks
+# the quantize→score→pool→rerank chain) — FULL_REGISTRY only, so the
+# pytest oracle gate replays it cell-for-cell every session.
+
+def q_sq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import sq_knn_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 40 == 0).orderBy("vec_id").limit(5)
+    return sq_knn_join(qs, emb, k=3, pool=_SQ_POOL, nbits=_SQ_NBITS)
+
+
+def _sql_sq_knn_join(nbits: int = _SQ_NBITS, pool: int = _SQ_POOL,
+                     k: int = 3) -> str:
+    lim = {4: 7, 8: 127}[nbits]
+    lim2 = float(lim * lim)
+    amax = "list_max(list_transform({c}, x -> abs(CAST(x AS DOUBLE))))"
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+    CASE WHEN {amax.format(c='embedding')} > 0
+         THEN {amax.format(c='embedding')} ELSE 1.0 END AS qscale,
+    {V.norm_sql('embedding')} AS qnorm
+  FROM (SELECT * FROM embeddings WHERE vec_id % 40 = 0
+        ORDER BY vec_id LIMIT 5)
+), idx AS (
+  SELECT vec_id, embedding AS v,
+    {amax.format(c='embedding')} AS s,
+    CASE WHEN {amax.format(c='embedding')} > 0
+         THEN {amax.format(c='embedding')} ELSE 1.0 END AS sq,
+    {V.norm_sql('embedding')} AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id,
+    CAST(list_sum(list_transform(range(1, len(v) + 1),
+      i -> CAST(floor(CAST(v[i] AS DOUBLE) / sq * {lim} + 0.5) AS BIGINT)
+         * CAST(floor(CAST(qv[i] AS DOUBLE) / qscale * {lim} + 0.5) AS BIGINT)
+    )) AS DOUBLE) * s * qscale / {lim2}
+      / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END * qnorm) AS approx
+  FROM idx, qs
+), pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY approx DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {pool}
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT p.query_id, e.vec_id,
+    round({V.cosine_sql('e.embedding', 'qs.qv')}, 4) AS cosine,
+    row_number() OVER (
+      PARTITION BY p.query_id
+      ORDER BY round({V.cosine_sql('e.embedding', 'qs.qv')}, 4) DESC,
+               e.vec_id
+    ) AS rn
+  FROM pool p
+  JOIN embeddings e ON e.vec_id = p.vec_id
+  JOIN qs ON qs.query_id = p.query_id
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: knn_join — batch kNN: top-3 corpus neighbors for each of 5 query
 # vectors (broadcast nested loop + per-query window top-k).
 
@@ -2813,6 +2880,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_embedding_dedup_groups, _sql_embedding_dedup_groups()
     ),
     "ann_sq_rerank": QuerySpec(q_ann_sq_rerank, _sql_ann_sq_rerank()),
+    "sq_knn_join": QuerySpec(q_sq_knn_join, _sql_sq_knn_join()),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
     "ann_multiprobe": QuerySpec(q_ann_multiprobe, SQL_ANN_MULTIPROBE),
     "ann_random_projection": QuerySpec(

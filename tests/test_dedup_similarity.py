@@ -878,6 +878,37 @@ class TestSqRerank:
                 ])
                 assert (unpacked == codes).all(), (dim, nbits)
 
+    def test_sq_knn_join_matches_exact_knn_join(self, spark):
+        # the batch serving shape: per-query quantized pool + exact
+        # re-rank must equal the full-precision knn_join on this data
+        # for BOTH code widths (the int4 error bound is far below the
+        # pool-boundary gaps)
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        qs = emb.filter(F.col("vec_id") % 40 == 0).orderBy(
+            "vec_id").limit(5)
+        exact = {(r["query_id"], r["vec_id"]): r["cosine"]
+                 for r in S.knn_join(qs, emb, k=3).collect()}
+        for nbits in (4, 8):
+            got = {(r["query_id"], r["vec_id"]): r["cosine"]
+                   for r in S.sq_knn_join(qs, emb, k=3, pool=50,
+                                          nbits=nbits).collect()}
+            assert got == exact, nbits
+
+    def test_sq_knn_join_pool_caps_rerank_pairs(self, spark):
+        # the re-rank stage must see ≤ pool rows per query — the whole
+        # point of the quantized pre-stage
+        from globallinks_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        qs = emb.filter(F.col("vec_id") < 2)
+        out = S.sq_knn_join(qs, emb, k=500, pool=7, nbits=8).collect()
+        per_q = {}
+        for r in out:
+            per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        assert per_q and all(n <= 7 for n in per_q.values())
+
     def test_zero_vector_corpus_scores_zero_not_nan(self, spark):
         # the SCORING stage must survive a zero vector (codes 0,
         # approx 0.0 — guarded denominators, no NaN/ANSI error) and
