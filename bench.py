@@ -226,6 +226,55 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Any entry whose best-of-N exceeds this multiple of its previous-round
+# driver figure gets a host probe stamped regardless of absolute time
+# (r8 verdict #1: four sub-3s dedup entries regressed 30-70% in a
+# co-tenant window and carried no probe of their own, so the delta was
+# unexplainable entry-by-entry). 1.3 sits above the observed quiet-host
+# noise floor (spread ≤ ~1.2) and below every co-tenancy swing seen so
+# far (1.3×-8.7×).
+REGRESSION_PROBE_RATIO = 1.3
+
+
+def _probe_reason(best_sec: float, prev_sec: float | None) -> str | None:
+    """The probe-policy decision for one entry: a probe is stamped when
+    best-of-N exceeds 3 s (absolute) or REGRESSION_PROBE_RATIO × the
+    entry's previous-round driver figure (relative, any magnitude).
+    Returns the trigger string for the artifact, or None. Pinned by
+    tests/test_bench_contract.py::test_regression_probe_policy."""
+    if best_sec > 3.0:
+        return "abs>3s"
+    if prev_sec and best_sec > REGRESSION_PROBE_RATIO * prev_sec:
+        return (
+            f"regression {best_sec:.3f}s vs prev {prev_sec:.3f}s "
+            f"(>{REGRESSION_PROBE_RATIO}x)"
+        )
+    return None
+
+
+def _prev_round_timings() -> dict[str, float]:
+    """Per-entry timings from the LATEST driver-recorded BENCH_r{N}.json
+    — the baseline for the regression-triggered probe policy. Missing or
+    unparseable artifacts (round 1, a lost tail capture) return {} and
+    the policy degrades to the absolute 3 s threshold only."""
+    import glob
+
+    best_n, out = -1, {}
+    for path in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError, ValueError):
+            continue
+        q = (data.get("parsed") or {}).get("queries") or {}
+        if q:
+            best_n, out = int(m.group(1)), q
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -291,6 +340,8 @@ def main() -> None:
     runs_sec: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
     host_probe: dict[str, float] = {}
+    probe_trigger: dict[str, str] = {}
+    prev_timings = _prev_round_timings()
     for name, spec in REGISTRY.items():
         samples: list[float] = []
         while True:
@@ -309,7 +360,14 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         runs_sec[name] = [round(s, 3) for s in samples]
         spread[name] = round(max(samples) / min(samples), 2)
-        if timings[name] > 3.0:
+        # probe policy: absolute (>3 s) OR regression-triggered — any
+        # entry whose best-of-N exceeds REGRESSION_PROBE_RATIO × its
+        # previous-round figure stamps a probe regardless of magnitude,
+        # so cross-round deltas are self-diagnosing at every size
+        # (r8 verdict #1b)
+        reason = _probe_reason(timings[name], prev_timings.get(name))
+        if reason is not None:
+            probe_trigger[name] = reason
             try:
                 host_probe[name] = _light_host_probe()
             except Exception as exc:
@@ -392,9 +450,15 @@ def main() -> None:
         "runs_sec": runs_sec,
         "spread": spread,
         "host_probe_8core_sec": host_probe,
+        "host_probe_trigger": probe_trigger,
+        "host_probe_prev_round_sec": {
+            n: prev_timings[n] for n in probe_trigger if n in prev_timings
+        },
         "host_probe_policy": "one 8-core strhash pass after any entry "
-                             "whose best-of-N exceeds 3 s (compare to "
-                             "extract's pinned 2.203 s probe)",
+                             "whose best-of-N exceeds 3 s OR exceeds "
+                             f"{REGRESSION_PROBE_RATIO}x its previous-"
+                             "round driver figure (compare to extract's "
+                             "pinned 2.203 s probe)",
         "warmup": f"each query once at {warm_dir} (codegen steady-state)",
         "timing": "min of 2 isolated runs, escalated to min of 3 when "
                   "best-of-2 > 3 s (cache cleared between); per-run "

@@ -230,6 +230,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Batch kNN: for EVERY query row, the top-k nearest corpus rows by
     cosine — the "embed new documents, find their neighbors" shape.
@@ -241,9 +242,22 @@ def knn_join(
     the cutoff is reproducible across engines. At scale, pre-filter the
     corpus side with an LSH bucket join (probe_buckets per query) before
     calling this — the operator composes, it doesn't re-bucket.
+
+    The small-query-side contract is ENFORCED: one count-limited probe
+    job checks the query frame holds ≤ ``max_query_rows`` rows (default
+    100k, mirroring sq_knn_join's cap) and raises ``ValueError``
+    otherwise — a clear error instead of an executor/driver OOM inside
+    the broadcast. Chunk the queries for larger batches.
     """
     from pyspark.sql import Window
 
+    if queries.select(query_id_col).limit(max_query_rows + 1).count() \
+            > max_query_rows:
+        raise ValueError(
+            f"knn_join: query side exceeds max_query_rows="
+            f"{max_query_rows}; the query frame broadcasts to every "
+            f"task — chunk the queries or raise the cap explicitly"
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -476,9 +490,11 @@ def _sq_unpack(buf: bytes, dim: int, nbits: int):
     """Inverse of _sq_pack for one row."""
     import numpy as np
 
-    raw = np.frombuffer(buf, dtype=np.uint8)
     if nbits == 8:
-        return raw.astype(np.int8).astype(np.int32)[:dim]
+        # direct byte reinterpret — exact regardless of numpy's
+        # out-of-range-cast semantics (int8 view of the same buffer)
+        return np.frombuffer(buf, dtype=np.int8).astype(np.int32)[:dim]
+    raw = np.frombuffer(buf, dtype=np.uint8)
     out = np.empty(raw.size * 2, dtype=np.int32)
     out[0::2] = raw & 0xF
     out[1::2] = raw >> 4
@@ -565,7 +581,10 @@ def sq_scores(
     dim = len(query_vec)
     qscale = max(abs(float(x)) for x in query_vec) or 1.0
     qcode = [math.floor(float(x) / qscale * lim + 0.5) for x in query_vec]
-    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    # coalesce a zero-vector query's norm to 1.0 (symmetric with the
+    # corpus-side coalesce below): an all-zero query scores 0.0
+    # everywhere instead of inf/NaN
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     id_type = index.schema["id"].dataType
     out_schema = T.StructType([
         T.StructField("id", id_type),
@@ -648,6 +667,7 @@ def sq_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Batch form of :func:`sq_rerank_topk` — the production serving
     shape (:func:`knn_join`'s quantized sibling): for EVERY query row,
@@ -666,7 +686,15 @@ def sq_knn_join(
     the corpus. The re-rank joins ≤ pool·|Q| (query, id) pairs back to
     full vectors. At 100 TB the scoring pass reads only the packed
     code columns of a persisted :func:`sq_index`; pass it via
-    ``index``."""
+    ``index``.
+
+    The small-query-side contract is ENFORCED, not just documented:
+    the collect is count-limited to ``max_query_rows`` (default 100k —
+    the autoBroadcastJoinThreshold analogue for this operator) and a
+    larger query frame raises ``ValueError`` instead of silently
+    attempting a driver-OOM-sized collect. For query sets beyond the
+    cap, chunk the queries or swap the sides (score corpus codes
+    against each chunk)."""
     import math
 
     import numpy as np
@@ -674,7 +702,14 @@ def sq_knn_join(
     lim = _SQ_LIM[nbits]
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
+    ).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"sq_knn_join: query side exceeds max_query_rows="
+            f"{max_query_rows}; the query frame collects to the driver "
+            f"and broadcasts — chunk the queries or raise the cap "
+            f"explicitly if the driver can hold them"
+        )
     qids = [r["query_id"] for r in qrows]
     # query-side params in pure Python/elementwise numpy with the same
     # fold orders as the SQL oracle: max/abs exact, norm a SEQUENTIAL
@@ -687,7 +722,8 @@ def sq_knn_join(
         for x in v:
             acc += x * x
         qscales.append(s)
-        qnorms.append(math.sqrt(acc))
+        # zero-vector query → norm coalesced to 1.0 (scores 0.0, not NaN)
+        qnorms.append(math.sqrt(acc) or 1.0)
         qcodes.append([math.floor(x / s * lim + 0.5) for x in v])
     dim = len(qrows[0]["qv"]) if qrows else 0
 

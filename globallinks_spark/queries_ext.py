@@ -470,7 +470,12 @@ def q_ann_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import sq_rerank_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(
+            "ann_sq_rerank: embeddings table has no vec_id=0 query row"
+        )
+    qvec = [float(x) for x in qrow["embedding"]]
     return sq_rerank_topk(emb, qvec, k=10, pool=_SQ_POOL, nbits=_SQ_NBITS)
 
 
@@ -483,7 +488,8 @@ WITH qp AS (
   SELECT embedding AS qv,
     CASE WHEN {amax.format(c='embedding')} > 0
          THEN {amax.format(c='embedding')} ELSE 1.0 END AS qscale,
-    {V.norm_sql('embedding')} AS qnorm
+    CASE WHEN {V.norm_sql('embedding')} > 0
+         THEN {V.norm_sql('embedding')} ELSE 1.0 END AS qnorm
   FROM embeddings WHERE vec_id = 0
 ), idx AS (
   SELECT vec_id, embedding AS v,
@@ -535,7 +541,8 @@ WITH qs AS (
   SELECT vec_id AS query_id, embedding AS qv,
     CASE WHEN {amax.format(c='embedding')} > 0
          THEN {amax.format(c='embedding')} ELSE 1.0 END AS qscale,
-    {V.norm_sql('embedding')} AS qnorm
+    CASE WHEN {V.norm_sql('embedding')} > 0
+         THEN {V.norm_sql('embedding')} ELSE 1.0 END AS qnorm
   FROM (SELECT * FROM embeddings WHERE vec_id % 40 = 0
         ORDER BY vec_id LIMIT 5)
 ), idx AS (

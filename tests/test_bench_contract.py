@@ -154,3 +154,36 @@ def test_fresh_jvm_extract_returns_none_when_all_runs_fail(monkeypatch):
     monkeypatch.setattr(bench, "_fresh_jvm_extract_once",
                         lambda n, c, timeout_sec=900: None)
     assert bench._fresh_jvm_extract(n_pages=1000, cores=8) is None
+
+
+def test_regression_probe_policy():
+    """r8 verdict #1b: a probe is stamped for ANY entry whose best-of-N
+    exceeds 1.3× its previous-round driver figure, regardless of
+    absolute time — so cross-round deltas are self-diagnosing at every
+    magnitude, not only above the 3 s absolute threshold (the gap that
+    left four sub-3s dedup regressions unexplainable in r8)."""
+    import bench
+
+    assert bench.REGRESSION_PROBE_RATIO == 1.3
+    # absolute trigger, unchanged
+    assert bench._probe_reason(3.5, None) == "abs>3s"
+    assert bench._probe_reason(3.5, 3.4) == "abs>3s"
+    # regression trigger below 3 s: 1.6 s vs prev 1.0 s → probe
+    assert "regression" in bench._probe_reason(1.6, 1.0)
+    # inside the noise floor → no probe
+    assert bench._probe_reason(1.2, 1.0) is None
+    # first round / entry renamed: no previous figure, small time → none
+    assert bench._probe_reason(1.6, None) is None
+
+
+def test_prev_round_timings_reads_latest_driver_artifact():
+    """_prev_round_timings must pick the HIGHEST-numbered parseable
+    BENCH_r{N}.json's queries map — the baseline the regression probe
+    compares against. Runs on the real repo artifacts."""
+    import bench
+
+    prev = bench._prev_round_timings()
+    # the repo carries r01..r08; r08 parsed with 50 entries
+    assert len(prev) == 50
+    assert all(isinstance(v, (int, float)) for v in prev.values())
+    assert "dedup_minhash_lsh" in prev

@@ -3,6 +3,8 @@ Jaccard correctness on hand-built corpora, ANN vs brute force."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -926,6 +928,38 @@ class TestSqRerank:
         got = S.sq_rerank_topk(df, [1.0, 0.0, 0.0, 0.0], k=2,
                                pool=2, nbits=4).collect()
         assert [r.vec_id for r in got] == [1, 2]
+
+    def test_zero_vector_query_scores_zero_not_nan(self, spark):
+        # the symmetric case (r8 ADVICE): an all-zero QUERY vector must
+        # score 0.0 against every corpus row in the SCORING stage —
+        # qnorm coalesces to 1.0 on both engines, never a division by
+        # zero → inf/NaN. (The exact RE-RANK keeps cosine_topk's
+        # pre-existing ANSI divide-by-zero contract for zero-norm
+        # inputs, same as the corpus-side test above.)
+        rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.5, 0.5, 0.0, 0.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        scored = S.sq_scores(S.sq_index(df, nbits=4),
+                             [0.0, 0.0, 0.0, 0.0], nbits=4).collect()
+        assert [r.approx for r in scored] == [0.0, 0.0]
+        assert all(math.isfinite(r.approx) for r in scored)
+
+    def test_sq_knn_join_rejects_oversized_query_side(self, spark):
+        # the small-query-side contract is enforced, not just
+        # documented: a query frame above max_query_rows raises instead
+        # of collecting toward a driver OOM
+        rows = [(i, [float(i), 1.0]) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="max_query_rows"):
+            S.sq_knn_join(df, df, k=1, max_query_rows=3)
+
+    def test_knn_join_rejects_oversized_query_side(self, spark):
+        rows = [(i, [float(i), 1.0]) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="max_query_rows"):
+            S.knn_join(df, df, k=1, max_query_rows=3)
 
 
 class TestMultiProbe:

@@ -49,6 +49,21 @@ def _normalize(df_pandas):
     return cols, sorted(rows)
 
 
+def test_demoted_qa_reports_stay_oracle_guarded():
+    """r8 demoted dedup_eval and ann_recall from the driver's
+    corpus_qa_suite to this pytest-only oracle gate (r8 verdict note).
+    This test is the promised CI guard (r8 verdict #7): if either key
+    leaves FULL_REGISTRY, or loses its DuckDB oracle (dropping it to
+    the weaker rows-only check), this fails by name instead of the
+    coverage silently narrowing."""
+    for key in ("dedup_eval", "ann_recall"):
+        assert key in REGISTRY, f"{key} left FULL_REGISTRY"
+        assert REGISTRY[key].oracle is not None, (
+            f"{key} lost its DuckDB oracle — rows-only is not enough "
+            f"for a demoted QA report"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, ddb, name):
     spec = REGISTRY[name]
