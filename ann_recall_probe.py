@@ -225,15 +225,17 @@ def main() -> None:
     # ------------------------------------------------------------------
     # Scalar-quantized codes + exact re-rank (r7 verdict #1): the scan
     # cost lever that works on this geometry is BYTES PER ROW, not row
-    # count. Packed int4 codes are ceil(dim/2) bytes vs 4·dim float32
-    # bytes (ratio 0.125; int8 = 0.25); the pool re-rank touches
-    # pool/N rows at full width. candidate_fraction below is the
-    # EQUIVALENT full-precision-scan fraction:
+    # count. The bytes ratio is the MEASURED parquet scan figure
+    # (similarity.SQ_MEASURED_BYTES_RATIO from sq_bytes_probe.py —
+    # id/scale/norm columns and page overhead included; the arithmetic
+    # code-bytes-only ratios 0.125/0.25 under-count by 1.3-1.5×, r8
+    # verdict #2); the pool re-rank touches pool/N rows at full width.
+    # candidate_fraction below is the EQUIVALENT full-precision-scan
+    # fraction:
     #   rows_scored_fraction × bytes_per_row_ratio + rerank_rows/N
     POOL = 50
-    dim = len(qrows[0][1])
     for nbits in (8, 4):
-        bytes_ratio = ((dim * nbits + 7) // 8) / float(4 * dim)
+        bytes_ratio = S.SQ_MEASURED_BYTES_RATIO[nbits]
         idx = S.sq_index(emb, nbits=nbits).persist()
         idx.count()
 
@@ -258,7 +260,7 @@ def main() -> None:
     idx4c = S.sq_index(assigned16, nbits=4, keep_cols=("cell",)).persist()
     idx4c.count()
     IVF_SQ_PROBE = 10
-    b4 = ((dim * 4 + 7) // 8) / float(4 * dim)
+    b4 = S.SQ_MEASURED_BYTES_RATIO[4]
 
     def ivf_sq_topk(qv, cents=centroids, idx=idx4c):
         def d2(c):
@@ -425,10 +427,12 @@ def main() -> None:
             "variant's EQUIVALENT full-precision-scan fraction: for "
             "full-width scoring it is the row fraction; for the SQ "
             "variants it is rows_scored_fraction x bytes_per_row_ratio"
-            " + rerank_rows_fraction (packed codes cost "
-            "ceil(dim*nbits/8) bytes/row vs 4*dim float32 — the scan "
-            "cost lever at 100 TB is bytes, and the decomposition is "
-            "recorded per variant); "
+            " + rerank_rows_fraction, with bytes_per_row_ratio the "
+            "MEASURED parquet scan ratio (SQ_MEASURED_BYTES_RATIO from "
+            "sq_bytes_probe.py; the arithmetic ceil(dim*nbits/8) vs "
+            "4*dim figure under-counts id/scale/norm + page overhead) "
+            "— the scan cost lever at 100 TB is bytes, and the "
+            "decomposition is recorded per variant); "
             "lift_over_random = recall / candidate_fraction. The "
             "synthetic embeddings are near-uniform outside their label "
             "blocks, so absolute recall is geometry-bounded — the lift "

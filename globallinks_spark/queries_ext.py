@@ -453,7 +453,8 @@ FROM cands ORDER BY cosine DESC, vec_id LIMIT 5
 # ---------------------------------------------------------------------------
 # Q: ann_sq_rerank — two-stage scalar-quantized serving ANN (r7 verdict
 # #1): score packed int4 codes for EVERY row (32 bytes/row vs 256
-# float32 — 0.125 of a full-precision scan), keep the top-50 pool by
+# float32 — measured 0.186 of the full-precision parquet scan bytes,
+# see similarity.SQ_MEASURED_BYTES_RATIO), keep the top-50 pool by
 # quantized score, exact-cosine re-rank the pool. The oracle replays
 # the quantization math directly (packing is a lossless storage layout,
 # round-trip pinned by tests/test_dedup_similarity.py::TestSqRerank);

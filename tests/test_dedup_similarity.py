@@ -747,6 +747,23 @@ class TestRouteAnnTopk:
                       + row["rerank_rows_fraction"])
             assert abs(row["candidate_fraction"] - expect) < 1e-4
 
+    def test_measured_bytes_ratio_pinned_to_artifact(self):
+        # r8 verdict #2: the SQ cost fractions must be MEASURED parquet
+        # scan bytes (sq_bytes_probe.py — scan-operator metric on a
+        # high-entropy corpus), not the arithmetic code-bytes figure.
+        # SQ_MEASURED_BYTES_RATIO is the single source both the routing
+        # table and ann_recall_probe.py read; it must equal the
+        # committed measurement, and the measurement must stay within
+        # sanity bounds of the arithmetic floor (> arith: overhead only
+        # ADDS bytes; < 2x arith: the layout stays genuinely narrow).
+        mb = TestRouteAnn._artifact()["measured_bytes"]["variants"]
+        for nbits in (4, 8):
+            row = mb[f"sq{nbits}"]
+            pinned = S.SQ_MEASURED_BYTES_RATIO[nbits]
+            assert abs(row["measured_bytes_ratio"] - pinned) < 1e-9
+            arith = row["arithmetic_bytes_ratio"]
+            assert arith < pinned < 2 * arith
+
     def test_cheapest_first_and_routing(self):
         fracs = [f for _, _, _, f in S.SERVING_ROUTING_TABLE]
         assert fracs == sorted(fracs)
