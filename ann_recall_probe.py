@@ -366,6 +366,19 @@ def main() -> None:
     def _cells_topn(v, n):
         return set(((C - v) ** 2).sum(axis=1).argsort()[:n].tolist())
 
+    # r8 verdict #5: measure OR-construction (multi-table) sign-LSH —
+    # n_tables INDEPENDENT seeded hyperplane tables (seed 0x5EED + t;
+    # table 0 IS the single-table seed), pair found if it collides in
+    # ANY table's probe set. Per-table misses multiply, so recall
+    # 1-(1-r)^t climbs where single-table probing plateaus; cost is
+    # n_tables*n_probe/2^bits. Asymmetric probing (u probed, v single
+    # bucket) — conservative vs near_dup_pairs_multitable's symmetric
+    # index-time fan-out.
+    UNION_CONFIGS = [(2, 4), (3, 4), (4, 4), (2, 8), (3, 8)]
+    MATS = [np.asarray(V.projection_matrix(bits, len(bases[0]), 0x5EED + t),
+                       dtype="float64")
+            for t in range(max(t for t, _ in UNION_CONFIGS))]
+
     planted: dict[str, dict] = {}
     for target in [round(0.90 + 0.01 * i, 2) for i in range(10)]:
         s = float(np.sqrt(1.0 - target * target))
@@ -373,7 +386,10 @@ def main() -> None:
             "axis_probe1": 0, "axis_probe4": 0, "axis_probe8": 0,
             "rp_probe1": 0, "rp_probe4": 0, "rp_probe8": 0,
             "ivf_same_cell": 0, "ivf_probe2": 0,
+            "ivf_probe3": 0, "ivf_probe4": 0,
         }
+        for t, p in UNION_CONFIGS:
+            stats[f"rp_union_t{t}_probe{p}"] = 0
         for u in bases:
             r = rng.standard_normal(len(u))
             w = r - (r @ u) * u
@@ -385,11 +401,21 @@ def main() -> None:
                 for n_probe in (1, 4, 8):
                     if bv in set(S.probe_buckets(mu, bits, n_probe)):
                         stats[f"{tag}_probe{n_probe}"] += 1
+            # per-table margins once, reused across union configs
+            tm = [(Mt @ u, Mt @ v) for Mt in MATS]
+            for t, p in UNION_CONFIGS:
+                if any(
+                    _bucket(mv_t.tolist()) in set(
+                        S.probe_buckets(mu_t.tolist(), bits, p))
+                    for mu_t, mv_t in tm[:t]
+                ):
+                    stats[f"rp_union_t{t}_probe{p}"] += 1
             cu, cv = _cell(u), _cell(v)
             if cu == cv:
                 stats["ivf_same_cell"] += 1
-            if cv in _cells_topn(u, 2):
-                stats["ivf_probe2"] += 1
+            for np_ivf in (2, 3, 4):
+                if cv in _cells_topn(u, np_ivf):
+                    stats[f"ivf_probe{np_ivf}"] += 1
         planted[f"cos_{target}"] = {
             k: round(n / len(bases), 3) for k, n in stats.items()
         }
@@ -446,6 +472,15 @@ def main() -> None:
             "16-cell/2-iter IVF."
         ),
     }
+    # carry over sections owned by OTHER probes (sq_bytes_probe.py's
+    # measured_bytes) — this probe owns recall, not scan-byte metrics
+    try:
+        with open(out_json, encoding="utf-8") as fh:
+            prev = json.load(fh)
+        if "measured_bytes" in prev:
+            out["measured_bytes"] = prev["measured_bytes"]
+    except (OSError, json.JSONDecodeError):
+        pass
     with open(out_json, "w", encoding="utf-8") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({n: v["recall_at_k"] for n, v in results.items()}))

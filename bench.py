@@ -9,13 +9,18 @@ SHORT JSON line:
 `extract_pages_per_min_per_core` is measured in FRESH subprocess JVMs
 (bench_extract.py, fixed best-of-5 with every run recorded) — the
 figure comparable to the reference's fresh-process 300k
-pages/min/thread claim. `extract_calibrated_median_pages_per_min_per_
-core` is the host-window-invariant form (median of per-run values
-calibrated by each run's own 8-core string-hash probe against a pinned
-reference probe time) — the number the 2× gate reads. The
-`extract_in_bench_*` sibling is the same kernel inside this long-lived
-JVM after the query catalog, documenting the in-process decay rather
-than hiding it.
+pages/min/thread claim. **The 2× gate reads
+`extract_raw_median_pages_per_min_per_core`** — the plain median of
+the five raw runs. The calibrated median
+(`extract_calibrated_median_pages_per_min_per_core`) is DEMOTED to a
+diagnostic (r8 verdict #3a): the CPU-only probe tracked extract noise
+at Pearson r = 0.18 in the r8 sample (probe times flat while extract
+times swung 3×, i.e. the slowdowns were I/O/GC-shaped, not CPU-shaped)
+so the calibration cannot be trusted to correct individual runs — it
+stays recorded, with its per-sample Pearson r, to IDENTIFY host
+windows, not to adjust the gate number. The `extract_in_bench_*`
+sibling is the same kernel inside this long-lived JVM after the query
+catalog, documenting the in-process decay rather than hiding it.
 
 Full metadata (warmup/timing policy, extract breakdown, per-query row
 counts) goes to the BENCH_DETAIL.json sidecar — round 3's inline form
@@ -119,14 +124,20 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     a max-of-N headline upward (ADVICE r6) — with a fixed N and every
     run recorded, the sampling is symmetric.
 
-    Two headline forms, both recorded:
+    Three forms, all recorded:
       value                    best-of-N raw — symmetric vs the
                                reference's "up to 300k" claim
+      value_raw_median         median of the raw per-run values — THE
+                               GATE FIGURE (r8 verdict #3a: the pure-CPU
+                               probe did not track extract noise,
+                               Pearson r 0.18, so calibration is demoted
+                               to diagnostic and the gate reads the
+                               uncorrected median)
       value_calibrated_median  median of the per-run host-calibrated
                                values (raw × run_probe/pinned probe,
-                               see PINNED_8CORE_STRHASH_SEC) — the
-                               host-window-invariant figure the 2×
-                               gate should read, per r6 verdict #1
+                               see PINNED_8CORE_STRHASH_SEC) — kept as
+                               the host-window DIAGNOSTIC next to its
+                               probe_extract_sec_pearson_r
     """
     import statistics
 
@@ -154,6 +165,15 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     best["runs_8core_strhash_sec"] = probes
     best["runs_extract_sec"] = [r.get("extract_sec") for r in results]
     best["runs_calibrated_pages_per_min_per_core"] = calibrated
+    # THE GATE FIGURE (r8 verdict #3a): plain median of the raw runs
+    best["value_raw_median"] = round(
+        statistics.median(r["value"] for r in results))
+    best["gate_policy"] = (
+        "the 2x gate reads value_raw_median; value_calibrated_median "
+        "is a host-window diagnostic only (its probe is CPU-bound and "
+        "measured Pearson r 0.18 against extract noise in r8 — "
+        "I/O/GC-shaped windows pass through it uncorrected)"
+    )
     if calibrated:
         # ADVICE r7 (medium): the probe is pure CPU while the extract
         # kernel also has I/O/GC/shuffle components, so on a host slow
@@ -495,6 +515,11 @@ def main() -> None:
     }
     if extract is not None:
         out["extract_pages_per_min_per_core"] = extract["value"]
+        if "value_raw_median" in extract:
+            # the gate figure (raw median; calibration is diagnostic)
+            out["extract_raw_median_pages_per_min_per_core"] = (
+                extract["value_raw_median"]
+            )
         if "value_calibrated_median" in extract:
             out["extract_calibrated_median_pages_per_min_per_core"] = (
                 extract["value_calibrated_median"]

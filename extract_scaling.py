@@ -25,7 +25,17 @@ extract gate), because 2-runs-per-rung best-of ratios sit inside the
 very host-window noise the calibration exists to tame. The best-of
 ratios stay recorded for continuity.
 
-Writes EXTRACT_SCALING.json. Usage: python extract_scaling.py [rounds]
+r9 (verdict #3b): the 100k rung is fixed-overhead-dominated (its ~2.3 s
+extract pays per-task scheduling + gzip-open costs that 1M amortizes),
+so the 100k→1M ratio over-states "speedup with scale". The decisive
+linearity pair is 1M→10M, run as
+``python extract_scaling.py 3 1000000,10000000 EXTRACT_SCALING_10M.json``
+(rungs and outfile are now parameters; default unchanged). Set
+WATBENCH_CACHE_DIR to reuse each rung's generated corpus across the
+fresh-JVM runs — generation is untimed single-threaded Python.
+
+Writes EXTRACT_SCALING.json (default).
+Usage: python extract_scaling.py [rounds] [rung1,rung2] [outfile]
 """
 
 from __future__ import annotations
@@ -36,17 +46,23 @@ import sys
 
 from bench import PINNED_8CORE_STRHASH_SEC, _fresh_jvm_extract_once
 
-RUNGS = (100_000, 1_000_000)
+DEFAULT_RUNGS = (100_000, 1_000_000)
 
 
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    RUNGS = tuple(
+        int(x) for x in sys.argv[2].split(",")
+    ) if len(sys.argv) > 2 else DEFAULT_RUNGS
+    outfile = sys.argv[3] if len(sys.argv) > 3 else "EXTRACT_SCALING.json"
+    assert len(RUNGS) == 2, "exactly two rungs per comparison"
     runs: dict[int, list[dict]] = {n: [] for n in RUNGS}
     for _ in range(rounds):
         for n in RUNGS:  # interleave rungs across rounds
-            # the 1M rung's subprocess does ~10 passes over the corpus
-            # plus single-threaded corpus gen — give it room
-            r = _fresh_jvm_extract_once(n, 8, timeout_sec=3600)
+            # the big rung's subprocess does ~10 passes over the corpus
+            # plus (first run only, under WATBENCH_CACHE_DIR)
+            # single-threaded corpus gen — give it room
+            r = _fresh_jvm_extract_once(n, 8, timeout_sec=7200)
             if r is not None:
                 runs[n].append(r)
                 print(f"# {n} pages: {r['value']} pages/min/core "
@@ -64,6 +80,7 @@ def main() -> None:
 
     out = {
         "metric": "extract_scaling_10x",
+        "rung_pair": [RUNGS[0], RUNGS[1]],
         "cores": 8,
         "rungs": {
             str(n): {
@@ -113,7 +130,7 @@ def main() -> None:
             statistics.median(mat[RUNGS[1]])
             / statistics.median(mat[RUNGS[0]]), 3
         )
-    with open("EXTRACT_SCALING.json", "w", encoding="utf-8") as fh:
+    with open(outfile, "w", encoding="utf-8") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "rungs"}))
 

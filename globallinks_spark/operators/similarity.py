@@ -44,6 +44,14 @@ ANN_ROUTING_TABLE: dict[str, list[tuple[str, dict, float, float]]] = {
         ("random_projection_bucket", {"bits": 8, "n_probe": 1}, 0.271, 0.0039),
         ("random_projection_bucket", {"bits": 8, "n_probe": 4}, 0.622, 0.0156),
         ("random_projection_bucket", {"bits": 8, "n_probe": 8}, 0.675, 0.0313),
+        # r9 (r8 verdict #5): multi-table OR-construction — per-table
+        # misses multiply, so the union climbs where single-table
+        # probing plateaus; t=3/probe4 reaches 0.945 at fraction 0.0469,
+        # the band's first measured ≥0.9-recall bucketed config
+        ("random_projection_multitable",
+         {"bits": 8, "n_tables": 2, "n_probe": 4}, 0.834, 0.0313),
+        ("random_projection_multitable",
+         {"bits": 8, "n_tables": 3, "n_probe": 4}, 0.945, 0.0469),
         ("ivf", {"n_cells": 16, "n_probe": 2}, 0.808, 0.125),
     ],
     "0.7-0.9": [
@@ -71,6 +79,10 @@ def route_ann(
     - ``("random_projection_bucket", {bits, n_probe})`` — seeded
       hyperplane sign-LSH (functions/vectors.py), block key for
       :func:`near_dup_pairs_vectorized`, probed via multi-probe.
+    - ``("random_projection_multitable", {bits, n_tables, n_probe})``
+      — OR-construction over independent seeded tables
+      (:func:`near_dup_pairs_multitable`); the 0.9-1.0 band's
+      high-recall bucketed path (r8 verdict #5).
     - ``("ivf", {n_cells, n_probe})`` — k-means cells
       (:func:`build_ivf_index`), compare within probed cells.
     - ``("exact_tiled", {})`` — no measured approximate config reaches
@@ -1016,6 +1028,106 @@ def near_dup_pairs_vectorized(
     return fanned.groupBy("p", "__t1", "__t2").applyInPandas(
         tile_pairs, out_schema
     )
+
+
+def near_dup_pairs_multitable(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    n_tables: int = 3,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile_size: int = 2048,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Multi-table sign-LSH near-dup blocking — the OR-construction
+    that closes the 0.9-1.0 routing band (r8 verdict #5): ``n_tables``
+    INDEPENDENT seeded hyperplane tables (seeds ``seed + t``; table 0
+    is the single-table seed, so t=1 degenerates to the existing
+    variant), each multi-probed with ``n_probe`` lowest-|margin| bit
+    flips. A true pair is found if it collides in ANY (table, probed
+    bucket) — per-table miss probabilities multiply, so recall
+    1-(1-r)^t climbs toward 1 while cost stays n_tables·n_probe/2^bits
+    of the corpus per row (measured, not assumed: the
+    ``rp_union_t{t}_probe{p}`` rows of ANN_RECALL.json's planted grid;
+    t=3/probe=4 reached 0.927 minimum over the 0.90-0.99 levels where
+    single-table probe8 plateaus at 0.675).
+
+    Plan shape: ONE pass derives every table's probe set (posexplode
+    of a (table, probed-bucket) array — n_tables·n_probe copies per
+    row), blocks ride :func:`near_dup_pairs_vectorized`'s tile-pair
+    machinery on the composite (table, bucket) key (per-task memory
+    stays tile_size²-bounded), and a final ``dropDuplicates(vec_a,
+    vec_b)`` folds pairs that collided in several tables (the cosine
+    is recomputed identically in every block, so the fold is
+    value-stable). The dedup shuffle carries only found PAIRS, never
+    the corpus. Multi-probe is applied symmetrically at index time —
+    every row fans to all its probed buckets, so any pair whose
+    buckets differ by one probed flip shares a block (a superset of
+    the asymmetric query-time probing the planted grid measures —
+    recall can only be higher)."""
+    probe_cols = []
+    for t in range(n_tables):
+        M = V.projection_matrix(bits, dim, seed + t)
+        margins = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(h) for h in row]),
+                    lambda x, h: x.cast("double") * h,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for row in M
+        ])
+        # bucket = sign bits; probe set = flips of the n_probe-1
+        # lowest-|margin| bits plus the base bucket, matching
+        # probe_buckets() (the measured query-time order) — as an
+        # index-time fan-out the SET is what matters, not the order
+        powers = F.array(*[F.lit(1 << i) for i in range(bits)])
+        bucket = F.aggregate(
+            F.zip_with(
+                margins, powers,
+                lambda m, p: F.when(m > 0, p).otherwise(F.lit(0)),
+            ),
+            F.lit(0), lambda acc, x: acc + x,
+        )
+        flips = F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        margins,
+                        lambda m, i: F.struct(
+                            F.abs(m).alias("a"), i.alias("i")),
+                    )
+                ),
+                lambda s: F.element_at(powers, s["i"] + F.lit(1)),
+            ),
+            1, max(n_probe - 1, 0),
+        )
+        probes = F.array_union(
+            F.array(bucket),
+            F.transform(flips, lambda fl: bucket.bitwiseXOR(fl))
+            if n_probe > 1 else F.array().cast("array<int>"),
+        )
+        probe_cols.append(
+            F.transform(
+                probes,
+                lambda b: F.concat_ws(
+                    "_", F.lit(str(t)), b.cast("string")),
+            )
+        )
+    fanned = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.flatten(F.array(*probe_cols))).alias("__block"),
+    )
+    pairs = near_dup_pairs_vectorized(
+        fanned, threshold, id_col, vec_col,
+        partition_col="__block", tile_size=tile_size,
+    )
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
 def near_dup_pairs(

@@ -585,6 +585,75 @@ SELECT query_id, vec_id, cosine FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q: dedup_multitable_lsh — multi-table (OR-construction) sign-LSH
+# near-dup pairs (r8 verdict #5): n_tables INDEPENDENT seeded
+# hyperplane tables (seed 0x5EED + t), each multi-probed, a pair
+# reported when it collides in ANY probed (table, bucket) block and
+# its exact cosine clears the threshold. The oracle replays the seeded
+# matrices as literals, the sign-bit bucket, the (|margin|, index)
+# flip order, the symmetric index-time fan-out, and the
+# raw-threshold/rounded-output convention — every block and every
+# pair, cell-for-cell.
+
+_MT_BITS = 8
+_MT_TABLES = 3
+_MT_PROBE = 4
+_MT_THRESHOLD = 0.35
+
+
+def q_dedup_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globallinks_spark.operators.similarity import (
+        near_dup_pairs_multitable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return near_dup_pairs_multitable(
+        emb, threshold=_MT_THRESHOLD, bits=_MT_BITS,
+        n_tables=_MT_TABLES, n_probe=_MT_PROBE, dim=64,
+    )
+
+
+def _sql_dedup_multitable_lsh(dim: int = 64) -> str:
+    tables = []
+    for t in range(_MT_TABLES):
+        M = V.projection_matrix(_MT_BITS, dim, 0x5EED + t)
+        margins = ", ".join(
+            V.dot_sql("embedding",
+                      "[" + ", ".join(repr(x) for x in row) + "]")
+            for row in M
+        )
+        tables.append(
+            f"SELECT vec_id, embedding, {t} AS t, [{margins}] AS mg "
+            f"FROM embeddings"
+        )
+    union = "\n  UNION ALL\n  ".join(tables)
+    cos = V.cosine_sql("a.embedding", "b2.embedding")
+    return f"""
+WITH tbl AS (
+  {union}
+), bkt AS (
+  SELECT vec_id, embedding, t, mg,
+    CAST(list_sum(list_transform(range(1, {_MT_BITS} + 1),
+      j -> CASE WHEN mg[j] > 0 THEN 2.0 ** (j - 1) ELSE 0.0 END))
+      AS INT) AS qb
+  FROM tbl
+), blk AS (
+  SELECT vec_id, embedding, t,
+    unnest(list_prepend(qb, list_transform(
+      list_sort(list_transform(range(0, {_MT_BITS}),
+        i -> {{'a': abs(mg[i + 1]), 'i': i}}))[1:{_MT_PROBE - 1}],
+      s -> xor(qb, CAST(2 ** s.i AS INT))))) AS b
+  FROM bkt
+)
+SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+  round({cos}, 4) AS cosine
+FROM blk a JOIN blk b2 ON a.t = b2.t AND a.b = b2.b
+  AND a.vec_id < b2.vec_id
+WHERE {cos} >= {_MT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: knn_join — batch kNN: top-3 corpus neighbors for each of 5 query
 # vectors (broadcast nested loop + per-query window top-k).
 
@@ -2889,6 +2958,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     ),
     "ann_sq_rerank": QuerySpec(q_ann_sq_rerank, _sql_ann_sq_rerank()),
     "sq_knn_join": QuerySpec(q_sq_knn_join, _sql_sq_knn_join()),
+    "dedup_multitable_lsh": QuerySpec(
+        q_dedup_multitable_lsh, _sql_dedup_multitable_lsh(dim=64)
+    ),
     "ann_sign_lsh": QuerySpec(q_ann_sign_lsh, SQL_ANN_SIGN_LSH),
     "ann_multiprobe": QuerySpec(q_ann_multiprobe, SQL_ANN_MULTIPROBE),
     "ann_random_projection": QuerySpec(

@@ -23,6 +23,7 @@ def test_bench_line_fits_driver_capture():
         "sf": 0.1,
         "detail": "BENCH_DETAIL.json",
         "extract_pages_per_min_per_core": 999999,
+        "extract_raw_median_pages_per_min_per_core": 999999,
         "extract_calibrated_median_pages_per_min_per_core": 999999,
         "extract_runs_pages_per_min_per_core": [999999] * 5,
         "extract_in_bench_pages_per_min_per_core": 999999,
@@ -65,6 +66,10 @@ def test_extract_policy_fixed_runs_and_calibrated_median(monkeypatch):
     assert got["runs_calibrated_pages_per_min_per_core"] == [300_000] * 5
     assert got["value_calibrated_median"] == 300_000
     assert got["calibration_capped"] is False
+    # r8 verdict #3a: THE GATE FIGURE is the raw median — calibration
+    # is a diagnostic (its probe measured r=0.18 against extract noise)
+    assert got["value_raw_median"] == 150_000
+    assert "value_raw_median" in got["gate_policy"]
 
 
 def test_calibrated_median_capped_at_best_raw(monkeypatch):
