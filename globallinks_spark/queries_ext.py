@@ -52,6 +52,21 @@ def _roundtrip_dir(kind: str) -> str:
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
+def _query_vec(emb: DataFrame, name: str) -> list[float]:
+    """The catalog's standard query vector: the vec_id=0 embedding.
+
+    Guarded fetch (ADVICE r8 generalized): an empty embeddings table or
+    a missing vec_id=0 row raises a named error instead of the bare
+    ``TypeError: 'NoneType' object is not subscriptable`` that
+    ``.first()["embedding"]`` produces."""
+    row = emb.filter(F.col("vec_id") == 0).first()
+    if row is None:
+        raise ValueError(
+            f"{name}: embeddings table has no vec_id=0 query row"
+        )
+    return [float(x) for x in row["embedding"]]
+
+
 # Shared oracle CTE: documents → words → distinct 3-gram shingles → H30
 # hashes (mirrors operators.dedup.with_shingle_hashes).
 _SQL_SHINGLE_CTE = f"""
@@ -269,7 +284,7 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb, "embedding_cosine_topk")
     return cosine_topk(emb, qvec, k=10)
 
 
@@ -360,7 +375,7 @@ def q_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import bucketed_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb, "ann_sign_lsh")
     return bucketed_topk(emb, qvec, k=5, bits=8)
 
 
@@ -388,7 +403,7 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import bucketed_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb, "ann_multiprobe")
     return bucketed_topk(emb, qvec, k=5, bits=8, n_probe=4)
 
 
@@ -424,7 +439,7 @@ def q_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb, "ann_random_projection")
     dim = len(qvec)
     bucket = V.random_projection_bucket(F.col("embedding"), 8, dim)
     qb = (
@@ -471,12 +486,7 @@ def q_ann_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import sq_rerank_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).first()
-    if qrow is None:
-        raise ValueError(
-            "ann_sq_rerank: embeddings table has no vec_id=0 query row"
-        )
-    qvec = [float(x) for x in qrow["embedding"]]
+    qvec = _query_vec(emb, "ann_sq_rerank")
     return sq_rerank_topk(emb, qvec, k=10, pool=_SQ_POOL, nbits=_SQ_NBITS)
 
 
@@ -1085,7 +1095,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = _query_vec(emb, "ann_ivf")
     return ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
 
 

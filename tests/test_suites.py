@@ -171,3 +171,27 @@ class TestRoundtripDirEviction:
         # kinds are independent slots
         o1 = QX._roundtrip_dir("other")
         assert os.path.isdir(o1) and os.path.isdir(d2) and os.path.isdir(d3)
+
+
+class TestQueryVecGuard:
+    def test_missing_vec_id_zero_raises_named_error(self, spark):
+        """ADVICE r8 generalized: every catalog query that anchors on
+        the vec_id=0 embedding goes through _query_vec, which raises a
+        named ValueError on an empty table / missing row instead of
+        TypeError on None."""
+        import pytest
+
+        from globallinks_spark import queries_ext as QX
+
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError, match="some_query.*vec_id=0"):
+            QX._query_vec(empty, "some_query")
+
+    def test_returns_floats_for_present_row(self, spark):
+        from globallinks_spark import queries_ext as QX
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+            "vec_id bigint, embedding array<float>")
+        assert QX._query_vec(emb, "q") == [1.0, 2.0]
