@@ -161,10 +161,17 @@ def main() -> None:
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     big_dir = f"/tmp/sparklinks_sf{factor}x"
 
-    from globallinks_spark.queries import REGISTRY
+    from globallinks_spark.queries import FULL_REGISTRY, REGISTRY
     from globallinks_spark.session import get_spark
 
-    registry = {k: v for k, v in REGISTRY.items()
+    # the default sweep covers the 50 consolidated driver entries; a
+    # targeted only_csv run may also name any FULL_REGISTRY entry
+    # (e.g. a new operator that has not yet been folded into a driver
+    # suite), with driver names winning on collision
+    base: dict = dict(FULL_REGISTRY)
+    base.update(REGISTRY)
+    registry = {k: v for k, v in (REGISTRY if only is None
+                                  else base).items()
                 if only is None or k in only}
     if only and (missing := only - set(registry)):
         raise SystemExit(f"unknown registry entries: {sorted(missing)}")
