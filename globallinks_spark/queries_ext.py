@@ -529,9 +529,9 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 # Q: sq_knn_join — the BATCH form of ann_sq_rerank (knn_join's
 # quantized sibling, the production serving shape): per query,
-# quantized-score the corpus codes, top-50 pool, exact re-rank. Not a
-# driver row (the 50-entry cap; ann_sq_rerank already driver-checks
-# the quantize→score→pool→rerank chain) — FULL_REGISTRY only, so the
+# quantized-score the corpus codes, top-50 pool, exact re-rank.
+# Driver-checked as the 5th member of ann_lsh_suite since r10
+# (r9 verdict #1); also FULL_REGISTRY under its own name, so the
 # pytest oracle gate replays it cell-for-cell every session.
 
 def q_sq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,7 +603,8 @@ SELECT query_id, vec_id, cosine FROM (
 # matrices as literals, the sign-bit bucket, the (|margin|, index)
 # flip order, the symmetric index-time fan-out, and the
 # raw-threshold/rounded-output convention — every block and every
-# pair, cell-for-cell.
+# pair, cell-for-cell. Driver-checked inside dedup_docs_suite since
+# r10 (r9 verdict #1); also FULL_REGISTRY under its own name.
 
 _MT_BITS = 8
 _MT_TABLES = 3

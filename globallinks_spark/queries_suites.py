@@ -264,6 +264,19 @@ CHECKSUM_SUITES: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
             ("ppl_bucket", "str")]),
         ("simhash_fingerprint", [("doc_id", "int"), ("simhash", "int")]),
     ],
+    # document-dedup fold (r9 verdict #1): the r8-vintage multi-table
+    # OR-construction LSH operator had no driver CORRECTNESS row (the
+    # 50-entry cap) — fold it with the driver-green exact-dedup row so
+    # BOTH carry driver rows without spending a new slot. Each member
+    # keeps its FULL_REGISTRY entry (cell-for-cell DuckDB-checked every
+    # pytest session); the checksum fold preserves detection power up
+    # to md5 collisions.
+    "dedup_docs_suite": [
+        ("dedup_exact_docs", [
+            ("keeper_doc_id", "int"), ("n_copies", "int")]),
+        ("dedup_multitable_lsh", [
+            ("vec_a", "int"), ("vec_b", "int"), ("cosine", "float")]),
+    ],
     # set ops / pivot / salted skewed distinct / range join
     "relational_suite": [
         ("set_ops", [("custkey", "int"), ("category", "str")]),
@@ -379,6 +392,10 @@ def _long_form_entry(name: str, base: dict[str, QuerySpec]) -> QuerySpec:
 # full-fidelity tagged unions / wide joins
 
 def _ann_lsh_suite(base: dict[str, QuerySpec]) -> QuerySpec:
+    # r9 verdict #1: sq_knn_join (the batch serving form) joins as the
+    # 5th member so it carries a driver CORRECTNESS row. Its extra
+    # query_id key widens the union schema; the single-query members
+    # ride with query_id = -1 (their full result is still cell-exact).
     members = ["ann_sign_lsh", "ann_multiprobe", "ann_random_projection",
                "ann_sq_rerank"]
 
@@ -386,14 +403,26 @@ def _ann_lsh_suite(base: dict[str, QuerySpec]) -> QuerySpec:
         out = None
         for m in members:
             part = base[m].fn(spark, sf_dir).select(
-                F.lit(m).alias("method"), "vec_id", "cosine"
+                F.lit(m).alias("method"),
+                F.lit(-1).cast("bigint").alias("query_id"),
+                "vec_id", "cosine",
             )
             out = part if out is None else out.unionByName(part)
-        return out
+        batch = base["sq_knn_join"].fn(spark, sf_dir).select(
+            F.lit("sq_knn_join").alias("method"),
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "vec_id", "cosine",
+        )
+        return out.unionByName(batch)
 
     sql = "\nUNION ALL\n".join(
-        f"SELECT '{m}' AS method, vec_id, cosine FROM ({base[m].oracle}) __u"
+        f"SELECT '{m}' AS method, CAST(-1 AS BIGINT) AS query_id, "
+        f"vec_id, cosine FROM ({base[m].oracle}) __u"
         for m in members
+    ) + (
+        "\nUNION ALL\n"
+        "SELECT 'sq_knn_join' AS method, CAST(query_id AS BIGINT) AS "
+        f"query_id, vec_id, cosine FROM ({base['sq_knn_join'].oracle}) __b"
     )
     return QuerySpec(fn, sql)
 
@@ -474,7 +503,7 @@ def suite_members() -> dict[str, list[str]]:
     })
     out["ann_lsh_suite"] = [
         "ann_sign_lsh", "ann_multiprobe", "ann_random_projection",
-        "ann_sq_rerank"]
+        "ann_sq_rerank", "sq_knn_join"]
     out["multimodal_suite"] = ["multimodal_meta", "frame_sample"]
     out["rollup_cube_revenue"] = ["rollup_revenue", "cube_revenue"]
     return out
@@ -490,7 +519,7 @@ _UNCHANGED_TAIL = [
     "text_quality", "repetition_profile", "doc_fingerprint",
     "pricing_summary", "compaction_merge", "api_merge", "api_query",
     "dedup_exact", "join_enrich", "counters", "top_k_per_group",
-    "url_parse", "window_running", "sessionize", "dedup_exact_docs",
+    "url_parse", "window_running", "sessionize",
     "dedup_minhash_lsh", "dedup_groups", "dedup_ngram_jaccard",
     "simhash_near_dup", "dedup_incremental", "winnow_fingerprint",
     "embedding_cosine_topk", "embedding_dedup_groups", "knn_join",
@@ -519,6 +548,7 @@ def consolidate(
         "retrieval_suite": _checksum_suite("retrieval_suite", base),
         "packing_suite": _checksum_suite("packing_suite", base),
         "events_suite": _checksum_suite("events_suite", base),
+        "dedup_docs_suite": _checksum_suite("dedup_docs_suite", base),
         "corpus_qa_suite": _checksum_suite("corpus_qa_suite", base),
         "relational_suite": _checksum_suite("relational_suite", base),
         "ann_lsh_suite": _ann_lsh_suite(base),
@@ -543,9 +573,9 @@ def consolidate(
     registry["dataset_split"] = original["dataset_split"]
     for s in (
         "tpch_suite", "graph_metrics", "retrieval_suite", "packing_suite",
-        "events_suite", "corpus_qa_suite", "relational_suite",
-        "ann_lsh_suite", "multimodal_suite", "rollup_cube_revenue",
-        "stats_profile",
+        "events_suite", "dedup_docs_suite", "corpus_qa_suite",
+        "relational_suite", "ann_lsh_suite", "multimodal_suite",
+        "rollup_cube_revenue", "stats_profile",
     ):
         registry[s] = merged[s]
     # group B: the one entry whose production implementation differs
