@@ -163,32 +163,84 @@ def test_fresh_jvm_extract_returns_none_when_all_runs_fail(monkeypatch):
 
 def test_regression_probe_policy():
     """r8 verdict #1b: a probe is stamped for ANY entry whose best-of-N
-    exceeds 1.3× its previous-round driver figure, regardless of
-    absolute time — so cross-round deltas are self-diagnosing at every
-    magnitude, not only above the 3 s absolute threshold (the gap that
-    left four sub-3s dedup regressions unexplainable in r8)."""
+    exceeds 1.3× its driver baseline, regardless of absolute time — so
+    cross-round deltas are self-diagnosing at every magnitude, not only
+    above the 3 s absolute threshold (the gap that left four sub-3s
+    dedup regressions unexplainable in r8). r9 verdict #4: the baseline
+    is the entry's MIN over its last N_BASELINE_ROUNDS driver figures,
+    not just the previous round — a ~1.26×/round drift that never trips
+    the wire against its immediate predecessor accumulates against the
+    recent-best anchor and trips on the second round."""
     import bench
 
     assert bench.REGRESSION_PROBE_RATIO == 1.3
+    assert bench.N_BASELINE_ROUNDS == 3
     # absolute trigger, unchanged
     assert bench._probe_reason(3.5, None) == "abs>3s"
     assert bench._probe_reason(3.5, 3.4) == "abs>3s"
-    # regression trigger below 3 s: 1.6 s vs prev 1.0 s → probe
+    # regression trigger below 3 s: 1.6 s vs baseline 1.0 s → probe
     assert "regression" in bench._probe_reason(1.6, 1.0)
     # inside the noise floor → no probe
     assert bench._probe_reason(1.2, 1.0) is None
-    # first round / entry renamed: no previous figure, small time → none
+    # first round / entry renamed: no baseline, small time → none
     assert bench._probe_reason(1.6, None) is None
+    # the drift case that motivated min-of-3: two consecutive 1.26×
+    # rounds (1.0 → 1.26 → 1.588). vs the previous round 1.588/1.26 =
+    # 1.26 < 1.3 would stay silent; vs the min-of-3 baseline (1.0) the
+    # 1.59× delta trips.
+    assert bench._probe_reason(1.588, 1.0) is not None
 
 
-def test_prev_round_timings_reads_latest_driver_artifact():
-    """_prev_round_timings must pick the HIGHEST-numbered parseable
-    BENCH_r{N}.json's queries map — the baseline the regression probe
-    compares against. Runs on the real repo artifacts."""
+def test_adjudication_policy():
+    """r9 verdict #3: every regressed entry gets an 'adjudication'
+    stamp in BENCH_DETAIL.json so the host-window verdict no longer
+    lives in a human dividing two numbers. Three outcomes: expected
+    (composition changed this round), host-window (the in-run probe
+    also ran > ratio × the pinned quiet figure), unexplained (the probe
+    was quiet or missing while the entry regressed)."""
     import bench
 
-    prev = bench._prev_round_timings()
-    # the repo carries r01..r08; r08 parsed with 50 entries
-    assert len(prev) == 50
-    assert all(isinstance(v, (int, float)) for v in prev.values())
-    assert "dedup_minhash_lsh" in prev
+    pin = bench.PINNED_8CORE_STRHASH_SEC
+    # inside the noise band, or no baseline → nothing to adjudicate
+    assert bench._adjudicate(1.2, 1.0, None) is None
+    assert bench._adjudicate(5.0, None, None) is None
+    # regressed + slow probe → host-window, with the ratio in the stamp
+    got = bench._adjudicate(1.6, 1.0, 1.7 * pin)
+    assert got is not None and got.startswith("host-window")
+    assert "1.70x" in got
+    # regressed + quiet probe → unexplained, flagged for investigation
+    got = bench._adjudicate(1.6, 1.0, 1.0 * pin)
+    assert got is not None and got.startswith("unexplained")
+    # regressed + no probe captured → unexplained as well
+    got = bench._adjudicate(1.6, 1.0, None)
+    assert got is not None and got.startswith("unexplained")
+    # composition changed this round → expected, regardless of probe
+    got = bench._adjudicate(1.6, 1.0, 1.0 * pin, "membership grew")
+    assert got is not None and got.startswith("expected")
+    # CHANGED_ENTRIES must only name current registry entries — a stale
+    # note would silently excuse a real future regression
+    from globallinks_spark.queries import REGISTRY
+
+    assert set(bench.CHANGED_ENTRIES) <= set(REGISTRY)
+
+
+def test_baseline_timings_takes_min_over_recent_rounds():
+    """_baseline_timings must return each entry's MIN across the last
+    N_BASELINE_ROUNDS parseable BENCH_r{N}.json artifacts. Runs on the
+    real repo artifacts (r07..r09 at the time of writing)."""
+    import bench
+
+    base, rounds = bench._baseline_timings(0.1)
+    history = bench._round_query_timings(0.1)
+    # the sf filter must drop differently-scaled artifacts entirely
+    assert bench._baseline_timings(0.5) == ({}, [])
+    assert rounds == [n for n, _ in history[: bench.N_BASELINE_ROUNDS]]
+    assert len(rounds) == min(bench.N_BASELINE_ROUNDS, len(history))
+    assert sorted(rounds, reverse=True) == rounds
+    assert "dedup_minhash_lsh" in base
+    # spot-check the min: recompute for one entry from the raw history
+    recent = [q["dedup_minhash_lsh"] for _, q in
+              history[: bench.N_BASELINE_ROUNDS]
+              if "dedup_minhash_lsh" in q]
+    assert base["dedup_minhash_lsh"] == min(recent)
+    assert all(isinstance(v, float) for v in base.values())
