@@ -118,8 +118,12 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "true"},
     )
     emb = _entropy_corpus(spark)
-    qvec = [float(x) for x in
-            emb.orderBy("vec_id").first()["embedding"]]
+    # guarded fetch (ADVICE r9 low #3): raise a named error on an empty
+    # corpus instead of a bare TypeError from .first()["embedding"]
+    qrow = emb.orderBy("vec_id").first()
+    if qrow is None:
+        raise ValueError("sq_bytes_probe: entropy corpus is empty")
+    qvec = [float(x) for x in qrow["embedding"]]
     dim = DIM
 
     # one writer for every table: same codec, same session — the
