@@ -263,18 +263,23 @@ REGRESSION_PROBE_RATIO = 1.3
 # slow drift accumulates against a fixed point and trips.
 N_BASELINE_ROUNDS = 3
 
-# Entries whose COMPOSITION changed this round (suite membership or
+# Entries whose COMPOSITION changed recently (suite membership or
 # parameters) — a cross-round delta on these is an intentional code
 # change, and the adjudication stamp says so instead of mislabeling it
-# a host window or an unexplained regression. Reviewed each round.
+# a host window or an unexplained regression. An entry stays listed
+# until the min-of-last-N_BASELINE_ROUNDS baseline consists entirely
+# of post-change rounds (the change lands in round R → remove in round
+# R + N_BASELINE_ROUNDS); removing it earlier would re-flag the same
+# delta against a pre-change baseline. Reviewed each round.
 CHANGED_ENTRIES: dict[str, str] = {
     "ann_lsh_suite": (
         "r10: sq_knn_join folded in as 5th member (r9 verdict #1); "
-        "adds its ~1.1 s sf0.1 cost to the suite"
+        "adds its ~1.1 s sf0.1 cost to the suite (listed through r12)"
     ),
     "dedup_docs_suite": (
         "new r10 fold (dedup_exact_docs + dedup_multitable_lsh, "
-        "r9 verdict #1); no prior driver figure exists"
+        "r9 verdict #1); no prior driver figure before r10 "
+        "(listed through r12)"
     ),
 }
 
