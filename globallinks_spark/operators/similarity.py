@@ -15,7 +15,7 @@ Two tiers, same cosine kernel (functions/vectors.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -941,7 +941,7 @@ def near_dup_pairs_vectorized(
              "cosine": pd.Series(dtype="float64")}
         )
 
-    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def one_block(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         if len(pdf) < 2:
@@ -991,6 +991,21 @@ def near_dup_pairs_vectorized(
             "vec_a": lo, "vec_b": hi, "cosine": np.round(raw, 4),
         })
 
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one pandas call may carry MANY single-tile blocks (the
+        # super-group batching below); sub-group by the block/tile key
+        # and run each through the same per-block kernel — a pandas
+        # groupby costs ~0.1 ms per sub-block vs the multi-ms
+        # Arrow/Python round trip a separate applyInPandas group pays
+        parts = [
+            one_block(sub)
+            for _, sub in pdf.groupby(["p", "__t1", "__t2"], sort=False)
+        ]
+        parts = [x for x in parts if len(x)]
+        if not parts:
+            return _empty(pdf)
+        return pd.concat(parts, ignore_index=True)
+
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -1004,6 +1019,31 @@ def near_dup_pairs_vectorized(
     # DataFrame runs no job (see docstring).
     counts = base.select("p").groupBy("p").agg(
         F.count(F.lit(1)).alias("__n")
+    )
+    # tiny-block batching (r10): when a block fits one tile, its pandas
+    # group holds just that block's handful of rows and the per-group
+    # Arrow/Python round trip dominates the stage (measured ~6 ms/group
+    # vs sub-ms of numpy work — LSH blocking makes hundreds of such
+    # groups at sf0.1 and millions at 100 TB). Single-tile blocks
+    # therefore share size-bounded SUPER-groups: block-key hash modulo
+    # a COUNT-DERIVED group number, ceil(total-small-rows / tile_size),
+    # so one pandas call sees ~tile_size rows spread over many blocks
+    # and the per-call Arrow batch stays bounded as the data grows
+    # (expected load tile_size rows/group under the uniform hash; any
+    # one block adds at most tile_size more). The total rides a global
+    # window over the ALREADY-TINY counts frame — one SinglePartition
+    # exchange over #blocks rows, no third scan of the input (the
+    # scan-accounting test still sees exactly two ReadSchema nodes).
+    # Multi-tile blocks keep their own (p, t1, t2) group — their
+    # tile_size² per-call bound is unchanged.
+    counts = counts.withColumn(
+        "__small_total",
+        F.sum(
+            F.when(F.col("__n") <= tile_size, F.col("__n")).otherwise(0)
+        ).over(Window.partitionBy()),
+    )
+    n_super = F.greatest(
+        F.ceil(F.col("__small_total") / F.lit(tile_size)), F.lit(1)
     )
     fanned = (
         base.join(F.broadcast(counts), on="p")
@@ -1021,13 +1061,30 @@ def near_dup_pairs_vectorized(
         .withColumn("__o", F.explode(F.sequence(F.lit(0), F.col("__nt") - 1)))
         .withColumn("__t1", F.least("__t", "__o"))
         .withColumn("__t2", F.greatest("__t", "__o"))
+        .withColumn(
+            "__gk",
+            F.when(
+                F.col("__nt") == 1,
+                F.concat(
+                    F.lit("s:"),
+                    F.pmod(
+                        F.xxhash64(F.col("p").cast("string")), n_super
+                    ).cast("string"),
+                ),
+            ).otherwise(
+                F.concat_ws(
+                    ":", F.lit("b"), F.col("p").cast("string"),
+                    F.col("__t1").cast("string"),
+                    F.col("__t2").cast("string"),
+                )
+            ),
+        )
         # prune the bookkeeping columns BEFORE the applyInPandas
-        # exchange — __n/__nt/__o would otherwise ride the wide shuffle
-        .select("p", "id", "v", "__t", "__t1", "__t2")
+        # exchange — __n/__nt/__o/__small_total would otherwise ride
+        # the wide shuffle
+        .select("p", "id", "v", "__t", "__t1", "__t2", "__gk")
     )
-    return fanned.groupBy("p", "__t1", "__t2").applyInPandas(
-        tile_pairs, out_schema
-    )
+    return fanned.groupBy("__gk").applyInPandas(tile_pairs, out_schema)
 
 
 def near_dup_pairs_multitable(
