@@ -1112,9 +1112,11 @@ def near_dup_pairs_multitable(
     t=3/probe=4 reached 0.927 minimum over the 0.90-0.99 levels where
     single-table probe8 plateaus at 0.675).
 
-    Plan shape: ONE pass derives every table's probe set (posexplode
-    of a (table, probed-bucket) array — n_tables·n_probe copies per
-    row), blocks ride :func:`near_dup_pairs_vectorized`'s tile-pair
+    Plan shape: ONE vectorized mapInPandas pass derives every table's
+    probe set and emits the fanned rows (n_tables·n_probe copies per
+    row; since r10 a batched numpy matrix kernel bit-exact to the
+    prior Catalyst higher-order-function form — see the inline
+    equivalence table), blocks ride :func:`near_dup_pairs_vectorized`'s tile-pair
     machinery on the composite (table, bucket) key (per-task memory
     stays tile_size²-bounded), and a final ``dropDuplicates(vec_a,
     vec_b)`` folds pairs that collided in several tables (the cosine
@@ -1125,60 +1127,73 @@ def near_dup_pairs_multitable(
     buckets differ by one probed flip shares a block (a superset of
     the asymmetric query-time probing the planted grid measures —
     recall can only be higher)."""
-    probe_cols = []
-    for t in range(n_tables):
-        M = V.projection_matrix(bits, dim, seed + t)
-        margins = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(h) for h in row]),
-                    lambda x, h: x.cast("double") * h,
-                ),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            for row in M
-        ])
-        # bucket = sign bits; probe set = flips of the n_probe-1
-        # lowest-|margin| bits plus the base bucket, matching
-        # probe_buckets() (the measured query-time order) — as an
-        # index-time fan-out the SET is what matters, not the order
-        powers = F.array(*[F.lit(1 << i) for i in range(bits)])
-        bucket = F.aggregate(
-            F.zip_with(
-                margins, powers,
-                lambda m, p: F.when(m > 0, p).otherwise(F.lit(0)),
-            ),
-            F.lit(0), lambda acc, x: acc + x,
-        )
-        flips = F.slice(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        margins,
-                        lambda m, i: F.struct(
-                            F.abs(m).alias("a"), i.alias("i")),
-                    )
-                ),
-                lambda s: F.element_at(powers, s["i"] + F.lit(1)),
-            ),
-            1, max(n_probe - 1, 0),
-        )
-        probes = F.array_union(
-            F.array(bucket),
-            F.transform(flips, lambda fl: bucket.bitwiseXOR(fl))
-            if n_probe > 1 else F.array().cast("array<int>"),
-        )
-        probe_cols.append(
-            F.transform(
-                probes,
-                lambda b: F.concat_ws(
-                    "_", F.lit(str(t)), b.cast("string")),
-            )
-        )
-    fanned = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.flatten(F.array(*probe_cols))).alias("__block"),
+    # r10: the (table, probed-bucket) fan-out runs as ONE vectorized
+    # mapInPandas matrix kernel instead of n_tables·bits Catalyst
+    # higher-order-function folds per row. The HOF form evaluated an
+    # interpreted lambda per (table, hyperplane, element) — measured
+    # ~0.7 ms/row at (t3, bits8, dim64), which is the per-row cost that
+    # would dominate a 100 TB corpus — while the kernel does the same
+    # arithmetic as batched numpy (same IVF-assign precedent as
+    # `_assign_cells`). BIT-EXACT to the replaced expressions and to
+    # the unchanged DuckDB oracle, which adjudicates it every session:
+    #   products  x.cast(double) * h       == V.astype(f64) * h
+    #   margin    left-to-right fold sum   == np.cumsum(..., axis=1)[:, -1]
+    #             (cumsum emits every prefix, so it IS the sequential
+    #             left-to-right sum — no pairwise reassociation)
+    #   bucket    integer sum of 2^i where margin > 0 (exact both ways)
+    #   probes    flips of the (n_probe-1) lowest-(|margin|, index)
+    #             bits: stable argsort on |margin| == array_sort on
+    #             struct(abs, i) including ties
+    mats = [V.projection_matrix(bits, dim, seed + t) for t in range(n_tables)]
+    fan_schema = T.StructType([
+        T.StructField(id_col, embeddings.schema[id_col].dataType),
+        T.StructField(vec_col, embeddings.schema[vec_col].dataType),
+        T.StructField("__block", T.StringType()),
+    ])
+
+    def _fan(batches):
+        import numpy as np
+        import pandas as pd
+
+        per_row = n_tables * n_probe
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Vm = np.stack(
+                pdf[vec_col].map(np.asarray).to_numpy()
+            ).astype("float64")
+            n = len(pdf)
+            blocks = np.empty((n, per_row), dtype=object)
+            col = 0
+            for t, M in enumerate(mats):
+                margins = np.empty((n, bits), dtype="float64")
+                for b, row in enumerate(M):
+                    h = np.asarray(row, dtype="float64")
+                    margins[:, b] = np.cumsum(Vm * h, axis=1)[:, -1]
+                powers = (1 << np.arange(bits)).astype("int64")
+                bucket = ((margins > 0) * powers).sum(axis=1).astype("int64")
+                prefix = f"{t}_"
+                blocks[:, col] = [prefix + str(b) for b in bucket]
+                col += 1
+                if n_probe > 1:
+                    order = np.argsort(
+                        np.abs(margins), axis=1, kind="stable"
+                    )[:, : n_probe - 1]
+                    flipped = bucket[:, None] ^ powers[order]
+                    for j in range(n_probe - 1):
+                        blocks[:, col] = [
+                            prefix + str(b) for b in flipped[:, j]
+                        ]
+                        col += 1
+            flat = np.repeat(np.arange(n), per_row)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[flat],
+                vec_col: pdf[vec_col].to_numpy()[flat],
+                "__block": blocks.ravel(),
+            })
+
+    fanned = embeddings.select(id_col, vec_col).mapInPandas(
+        _fan, fan_schema
     )
     pairs = near_dup_pairs_vectorized(
         fanned, threshold, id_col, vec_col,
