@@ -1036,14 +1036,32 @@ def near_dup_pairs_vectorized(
     # scan-accounting test still sees exactly two ReadSchema nodes).
     # Multi-tile blocks keep their own (p, t1, t2) group — their
     # tile_size² per-call bound is unchanged.
+    w = Window.partitionBy()
     counts = counts.withColumn(
         "__small_total",
         F.sum(
             F.when(F.col("__n") <= tile_size, F.col("__n")).otherwise(0)
-        ).over(Window.partitionBy()),
+        ).over(w),
+    ).withColumn(
+        "__small_blocks",
+        F.sum(F.when(F.col("__n") <= tile_size, 1).otherwise(0)).over(w),
     )
+    # group count = max(size bound, parallelism floor): the size bound
+    # (total small rows / tile_size) keeps every Arrow batch
+    # ~tile_size-bounded as data grows; the floor keeps batching from
+    # REDUCING parallelism when blocks are few — min(#small blocks,
+    # 4×cores) groups, i.e. never fewer pandas calls than there were
+    # blocks, and at least a healthy task fan-out when blocks abound.
+    # (First measured the hard way: n_super=1 at sf0.1 serialized the
+    # 10 label blocks of embedding_dedup_groups into one task, 3× the
+    # entry.) Whenever the floor binds, total small rows ≤
+    # 4·cores·tile_size, so per-group rows stay ≤ ~tile_size under the
+    # uniform hash either way.
+    par_floor = 4 * embeddings.sparkSession.sparkContext.defaultParallelism
     n_super = F.greatest(
-        F.ceil(F.col("__small_total") / F.lit(tile_size)), F.lit(1)
+        F.ceil(F.col("__small_total") / F.lit(tile_size)),
+        F.least(F.col("__small_blocks"), F.lit(par_floor)),
+        F.lit(1),
     )
     fanned = (
         base.join(F.broadcast(counts), on="p")
