@@ -1163,6 +1163,12 @@ def near_dup_pairs_multitable(
     #             bits: stable argsort on |margin| == array_sort on
     #             struct(abs, i) including ties
     mats = [V.projection_matrix(bits, dim, seed + t) for t in range(n_tables)]
+    # ADVICE r10: argsort yields at most `bits` flip candidates, so the
+    # probe count is clamped to bits+1 (base bucket + every single-bit
+    # flip) instead of indexing past the flip matrix — the replaced
+    # Catalyst form capped the same way via F.slice. Current callers
+    # (route_ann: n_probe=4, bits=8) never hit the clamp.
+    n_flips = min(n_probe - 1, bits)
     fan_schema = T.StructType([
         T.StructField(id_col, embeddings.schema[id_col].dataType),
         T.StructField(vec_col, embeddings.schema[vec_col].dataType),
@@ -1173,7 +1179,7 @@ def near_dup_pairs_multitable(
         import numpy as np
         import pandas as pd
 
-        per_row = n_tables * n_probe
+        per_row = n_tables * (1 + n_flips)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1193,12 +1199,12 @@ def near_dup_pairs_multitable(
                 prefix = f"{t}_"
                 blocks[:, col] = [prefix + str(b) for b in bucket]
                 col += 1
-                if n_probe > 1:
+                if n_flips:
                     order = np.argsort(
                         np.abs(margins), axis=1, kind="stable"
-                    )[:, : n_probe - 1]
+                    )[:, :n_flips]
                     flipped = bucket[:, None] ^ powers[order]
-                    for j in range(n_probe - 1):
+                    for j in range(n_flips):
                         blocks[:, col] = [
                             prefix + str(b) for b in flipped[:, j]
                         ]
@@ -1210,9 +1216,14 @@ def near_dup_pairs_multitable(
                 "__block": blocks.ravel(),
             })
 
-    fanned = embeddings.select(id_col, vec_col).mapInPandas(
-        _fan, fan_schema
-    )
+    # ADVICE r10: np.stack hard-fails a task on a null or ragged-length
+    # vector, where the replaced zip_with/aggregate expressions degraded
+    # to null margins (the row simply hashed nowhere). Restore that
+    # behavior declaratively: drop dirty rows BEFORE the kernel — a row
+    # with no valid embedding belongs in no LSH bucket.
+    fanned = embeddings.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).mapInPandas(_fan, fan_schema)
     pairs = near_dup_pairs_vectorized(
         fanned, threshold, id_col, vec_col,
         partition_col="__block", tile_size=tile_size,

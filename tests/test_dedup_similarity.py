@@ -1028,6 +1028,38 @@ class TestMultiTableLsh:
         assert len(rows) == len(multi)
         assert all(r.cosine >= 0.35 for r in rows)
 
+    def test_large_n_probe_clamps_to_bits(self, spark):
+        # ADVICE r10: argsort yields at most `bits` flip candidates, so
+        # n_probe > bits+1 must clamp (as the replaced Catalyst form did
+        # via F.slice), not raise IndexError inside the numpy kernel —
+        # and the clamped run must equal the exhaustive bits+1 probing.
+        rows = [(i, [float((i >> b) & 1) * 2 - 1 for b in range(8)])
+                for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        kw = dict(threshold=0.5, bits=4, n_tables=2, dim=8)
+        clamped = self._pairs(S.near_dup_pairs_multitable(
+            emb, n_probe=16, **kw))
+        full = self._pairs(S.near_dup_pairs_multitable(
+            emb, n_probe=5, **kw))  # bits+1 = every 1-bit flip
+        assert clamped == full
+
+    def test_null_and_ragged_vectors_dropped(self, spark):
+        # ADVICE r10: a null or ragged-length embedding must be dropped
+        # (the pre-r10 zip_with form degraded it to null margins — the
+        # row hashed nowhere), not np.stack-crash the task.
+        clean = [(i, [1.0, 0.0, 1.0, 0.0]) for i in range(6)]
+        dirty = [(100, None), (101, [1.0]), (102, [1.0] * 9)]
+        emb = spark.createDataFrame(
+            clean + dirty, "vec_id long, embedding array<float>")
+        pairs = S.near_dup_pairs_multitable(
+            emb, threshold=0.9, bits=4, n_tables=2, n_probe=3, dim=4)
+        got = self._pairs(pairs)
+        ids = {i for p in got for i in p}
+        assert ids <= {i for i, _ in clean}
+        # the clean identical vectors all pair up
+        assert len(got) == len(clean) * (len(clean) - 1) // 2
+
     def test_routing_returns_multitable_for_high_recall_pairs(self):
         # the r8 verdict #5 done-criterion: the 0.9-1.0 band now has a
         # measured ≥0.9-recall bucketed config at fraction ≤ 0.25 and
