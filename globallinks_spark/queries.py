@@ -83,12 +83,79 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 # run over lineitem: group (l_partkey, l_suppkey); 'N' returnflag plays the
 # dofollow role; (l_quantity, l_extendedprice) pairs play page variants.
 
-def q_compaction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select(
+def _compaction_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
         "l_extendedprice", "l_linenumber",
         F.when(F.col("l_returnflag") == "N", 0).otherwise(1).alias("flag"),
     )
+
+
+def q_compaction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 in the PRODUCTION plan shape (operators/compact.compact_links,
+    main.go:567-609 semantics): two aggregations with struct-ordering
+    encodings of the dofollow preference, instead of a min-over-window
+    prefilter. The window form (kept as compaction_merge_window in
+    FULL_REGISTRY, same oracle) shuffles and sorts EVERY row on the
+    2-col group key with no partial aggregation — on the Zipfian
+    link_domain keys A5 actually sees at 100 TB (SURVEY §7.3), the
+    hottest key lands whole in one task. Here phase 1 groups by the
+    FINER (group, flag, variant) key, so map-side partial aggregation
+    collapses duplicate rows before any exchange and the phase-2
+    shuffle carries only distinct variants per group — a hot group's
+    reduce-side cost is bounded by its variant count, not its row
+    count (the salted-pre-agg bound; measured in SKEW_PROBE.json's
+    hot-key rung). Results are row-identical to the window form:
+    min(struct(flag, x)) selects min x among the min-flag class, which
+    IS the survivor filter."""
+    li = _compaction_base(spark, sf_dir)
+    nf = F.col("flag")
+    pref = (F.lit(1) - nf).alias("pref")
+    # phase 1 — per (group, flag class, variant): every aggregate a
+    # plain min/max, duplicates collapsed map-side (compact.py phase 1)
+    pre = li.groupBy(
+        "l_partkey", "l_suppkey", "flag", "l_quantity", "l_extendedprice"
+    ).agg(
+        F.min("l_shipdate").alias("_dmin"),
+        F.max("l_shipdate").alias("_dmax"),
+        F.max(F.struct("l_shipdate", "l_linenumber")).alias("_last"),
+    )
+    # phase 2 — one row per group; leading each ordering struct with
+    # flag (min) or its complement (max) discards the non-survivor
+    # class wholesale, exactly the window form's flag == min(flag)
+    merged = pre.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(nf).alias("no_follow"),
+        F.min(F.struct(nf.alias("nf"), F.col("_dmin").alias("v")))
+        .alias("_dm"),
+        F.max(F.struct(pref, F.col("_dmax").alias("v"))).alias("_dx"),
+        F.min(F.struct(nf.alias("nf"), F.col("l_quantity").alias("q"),
+                       F.col("l_extendedprice").alias("p"))).alias("_rep"),
+        F.max(F.struct(pref, F.col("_last").alias("v"))).alias("_ll"),
+        F.sum(F.when(nf == 0, 1).otherwise(0)).alias("_c0"),
+        F.count("*").alias("_call"),
+    )
+    return merged.select(
+        "l_partkey", "l_suppkey", "no_follow",
+        F.col("_dm.v").alias("date_from"),
+        F.col("_dx.v").alias("date_to"),
+        F.col("_rep.q").alias("rep_qty"),
+        F.col("_rep.p").alias("rep_price"),
+        F.col("_ll.v.l_linenumber").alias("last_line"),
+        # variants are phase-1 group keys, so the survivor-class count
+        # is exact: _c0 counts flag-0 variants, _call counts all (a
+        # min-flag-1 group has no flag-0 rows at all)
+        F.when(F.col("no_follow") == 0, F.col("_c0"))
+        .otherwise(F.col("_call")).alias("qty"),
+    )
+
+
+def q_compaction_merge_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original min-over-window form of A5 — kept (FULL_REGISTRY,
+    same DuckDB oracle) as the readable reference recipe and as the
+    skew-probe comparison plan: a window prefilter shuffles every raw
+    row on the bare group key, the shape that concentrates a hot key
+    in one task (see q_compaction_merge)."""
+    li = _compaction_base(spark, sf_dir)
     w = Window.partitionBy("l_partkey", "l_suppkey")
     surv = (
         li.withColumn("_mf", F.min("flag").over(w))
@@ -471,6 +538,10 @@ FROM documents GROUP BY text
 REGISTRY: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
     "compaction_merge": QuerySpec(q_compaction_merge, SQL_COMPACTION_MERGE),
+    # window-form dual of compaction_merge (same oracle) — FULL_REGISTRY
+    # only after consolidation; pytest oracle-checks it every session
+    "compaction_merge_window": QuerySpec(
+        q_compaction_merge_window, SQL_COMPACTION_MERGE),
     "api_merge": QuerySpec(q_api_merge, SQL_API_MERGE),
     "api_query": QuerySpec(q_api_query, SQL_API_QUERY),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),

@@ -147,6 +147,227 @@ def build_skewed(spark: SparkSession, out_dir: str, factor: int) -> None:
     )
 
 
+def build_skewed_lineitem(spark: SparkSession, out_dir: str,
+                          factor: int) -> None:
+    """Just the Zipf-preserving lineitem rung (group keys unshifted —
+    every (l_partkey, l_suppkey) group grows ×factor, share preserved),
+    for entry-targeted runs where building documents/events too would
+    dominate the probe's wall time."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def off(col: str):
+        return (F.col(col) + F.col("__r") * F.lit(KEY_OFF)).alias(col)
+
+    _replicate(spark, f"{SRC}/lineitem.parquet", factor).select(
+        off("l_orderkey"), "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+
+def build_hotkey_lineitem(spark: SparkSession, out_dir: str,
+                          factor: int) -> None:
+    """The Zipf HEAD the share-preserving derivation cannot produce:
+    lineitem ×factor where every third replica's rows collapse onto ONE
+    (l_partkey, l_suppkey) group — ~1/3 of all rows in a single group
+    (at factor 100: ~20M rows in one key vs a ~12-row median group).
+    This is the regime SURVEY §7.3 flags for A5's link_domain keys:
+    a window prefilter must deliver every row of the hot key to one
+    task, while the production two-phase aggregation bounds the hot
+    key's reduce-side cost by its distinct-variant count."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def off(col: str):
+        return (F.col(col) + F.col("__r") * F.lit(KEY_OFF)).alias(col)
+
+    hot = (F.col("__r") % 3) == 0
+    _replicate(spark, f"{SRC}/lineitem.parquet", factor).select(
+        off("l_orderkey"),
+        F.when(hot, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_partkey")).alias("l_partkey"),
+        F.when(hot, F.lit(1).cast("bigint"))
+        .otherwise(F.col("l_suppkey")).alias("l_suppkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ).repartition(factor).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+
+def _stage_task_quantiles(spark: SparkSession, stage: dict) -> list | None:
+    """[min, median, max] executorRunTime (ms) across one stage's tasks
+    via the UI REST taskSummary endpoint; None when unreachable."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    sid = stage.get("stageId")
+    att = stage.get("attemptId", 0)
+    url = (f"{ui}/api/v1/applications/{app}/stages/{sid}/{att}"
+           f"/taskSummary?quantiles=0.0,0.5,1.0")
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            summary = json.loads(resp.read())
+        return [round(v, 1) for v in summary["executorRunTime"]]
+    except Exception as exc:
+        print(f"# taskSummary fetch failed (stage {sid}): {exc}",
+              file=sys.stderr)
+        return None
+
+
+def _run_stage_spread(spark: SparkSession, prior_ids: set,
+                      top_n: int = 2) -> list[dict]:
+    """Per-stage task-time spread for the stages submitted since
+    ``prior_ids`` (one timed run): the r10 verdict #4 evidence —
+    max-task vs median-task time in the heavy (merge) stages, which a
+    stage-total number can't show (a 32-task stage where one task does
+    all the work totals the same as a balanced one)."""
+    from scaling_probe import _completed_stages
+
+    new = [s for s in _completed_stages(spark)
+           if s.get("stageId") not in prior_ids]
+    out = []
+    for s in sorted(new, key=lambda s: -s.get("executorRunTime", 0))[:top_n]:
+        run = _stage_task_quantiles(spark, s)
+        row = {
+            "name": (s.get("name") or "?")[:80],
+            "n_tasks": s.get("numCompleteTasks", 0),
+            "executor_run_ms": s.get("executorRunTime", 0),
+            "input_mb": round(s.get("inputBytes", 0) / 2**20, 1),
+            "shuffle_read_mb": round(
+                s.get("shuffleReadBytes", 0) / 2**20, 1),
+            "shuffle_write_mb": round(
+                s.get("shuffleWriteBytes", 0) / 2**20, 1),
+            "memory_spill_mb": round(
+                s.get("memoryBytesSpilled", 0) / 2**20, 1),
+        }
+        if run is not None:
+            row["task_run_ms_min_med_max"] = run
+            if run[1]:
+                row["max_over_median_task"] = round(run[2] / run[1], 2)
+        out.append(row)
+    return out
+
+
+def compaction_main() -> None:
+    """r10 verdict #4: skew-probe compaction_merge at 100×.
+
+    Three rungs — sf0.1, the Zipf-preserving skewed rung (group keys
+    unshifted: every group grows ×factor, share preserved), and a
+    hot-key rung (~1/3 of all rows in ONE group, the Zipf head) — and
+    BOTH plan forms: the production two-phase aggregation
+    (compaction_merge, operators/compact.compact_links shape) and the
+    min-over-window prefilter (compaction_merge_window). Each big-rung
+    run records stage-level task-time quantiles, so the artifact shows
+    max-task vs median-task in the merge stage directly.
+
+    Usage: python skew_probe.py compaction [factor]
+    Merges a "compaction_merge_100x" section into SKEW_PROBE.json.
+    """
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    skew_dir = f"/tmp/sparklinks_sf{factor}x_skew_li"
+    hot_dir = f"/tmp/sparklinks_sf{factor}x_hot_li"
+
+    from globallinks_spark.queries import FULL_REGISTRY
+    from globallinks_spark.session import get_spark
+
+    spark = get_spark(app_name="skew_probe_compaction",
+                      extra_conf={"spark.ui.enabled": "true"})
+
+    for d, builder in ((skew_dir, build_skewed_lineitem),
+                       (hot_dir, build_hotkey_lineitem)):
+        if not os.path.exists(f"{d}/_BUILT"):
+            t0 = time.perf_counter()
+            builder(spark, d, factor)
+            open(f"{d}/_BUILT", "w").close()
+            print(f"# built {d} in {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr)
+
+    from scaling_probe import _completed_stages
+
+    forms = ("compaction_merge", "compaction_merge_window")
+    rungs = (("sf0.1", SRC), (f"skewed_{factor}x", skew_dir),
+             (f"hotkey_{factor}x", hot_dir))
+    results: dict[str, dict] = {}
+    for name in forms:
+        spec = FULL_REGISTRY[name]
+        spec.fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()  # codegen warm
+        times: dict[str, float] = {}
+        spreads: dict[str, list] = {}
+        for tag, d in rungs:
+            best, best_spread = float("inf"), None
+            for _ in range(2):
+                prior = {s.get("stageId") for s in _completed_stages(spark)}
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                spec.fn(spark, d).write.format("noop").mode(
+                    "overwrite").save()
+                wall = time.perf_counter() - t0
+                spark.catalog.clearCache()
+                if wall < best:
+                    best = wall
+                    if tag != "sf0.1":
+                        best_spread = _run_stage_spread(spark, prior)
+            times[tag] = round(best, 3)
+            if best_spread:
+                spreads[tag] = best_spread
+            print(f"# {name} @ {tag}: {times[tag]}s", file=sys.stderr)
+        results[name] = {
+            "times_sec": times,
+            "ratio_skewed": round(
+                times[f"skewed_{factor}x"] / max(times["sf0.1"], 1e-9), 2),
+            "ratio_hotkey": round(
+                times[f"hotkey_{factor}x"] / max(times["sf0.1"], 1e-9), 2),
+            "stage_task_spread": spreads,
+        }
+
+    section = {
+        "factor": factor,
+        "rungs": {
+            "skewed": "group keys unshifted — every (l_partkey, "
+                      "l_suppkey) group grows ×factor, share preserved",
+            "hotkey": "~1/3 of all rows collapsed onto ONE group (the "
+                      "Zipf head the share-preserving derivation "
+                      "cannot produce)",
+        },
+        "forms": results,
+        "plan_note": (
+            "compaction_merge is the production two-phase aggregation "
+            "(operators/compact.compact_links shape): phase 1 groups by "
+            "the finer (group, flag, variant) key with map-side partial "
+            "aggregation, so the phase-2 shuffle carries only distinct "
+            "variants and a hot group's reduce cost is bounded by its "
+            "variant count, not its row count — the salted-pre-agg "
+            "bound (the variant columns ARE the salt). "
+            "compaction_merge_window is the min-over-window prefilter: "
+            "it must deliver every raw row of a key to one task, and "
+            "AQE's skew handling cannot split it (OptimizeSkewedJoin "
+            "applies to joins, not windows/aggregations), so the hot "
+            "task grows linearly with the key and no runtime re-plan "
+            "can bound it."
+        ),
+    }
+
+    out_path = "SKEW_PROBE.json"
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+    doc["compaction_merge_100x"] = section
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps({"compaction_merge_100x": {
+        f: {k: v for k, v in r.items() if k != "stage_task_spread"}
+        for f, r in results.items()
+    }}))
+    spark.stop()
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     skew_dir = SKEW_DIR_TMPL.format(factor=factor)
@@ -251,4 +472,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "compaction":
+        compaction_main()
+    else:
+        main()
