@@ -10,8 +10,11 @@ SHORT JSON line:
 (bench_extract.py, fixed best-of-5 with every run recorded) — the
 figure comparable to the reference's fresh-process 300k
 pages/min/thread claim. **The 2× gate reads
-`extract_raw_median_pages_per_min_per_core`** — the plain median of
-the five raw runs. The calibrated median
+`extract_raw_median_pages_per_min_per_core`** — the median of the five
+raw runs after dropping any run more than OUTLIER_DROP_FACTOR below
+the sample max (r10 verdict #3: identical code at under half its own
+in-session best is a host window, not a plan cost; the unfiltered
+median stays recorded beside it). The calibrated median
 (`extract_calibrated_median_pages_per_min_per_core`) is DEMOTED to a
 diagnostic (r8 verdict #3a): the CPU-only probe tracked extract noise
 at Pearson r = 0.18 in the r8 sample (probe times flat while extract
@@ -111,6 +114,44 @@ def _fresh_jvm_extract_once(
 PINNED_8CORE_STRHASH_SEC = 2.203
 EXTRACT_RUNS = 5
 
+# Pinned quiet figure for the I/O-shaped probe (bench_extract.
+# parquet_io_probe: 8M-row/~278 MB parquet scan+write, min-of-2) —
+# median of ten quiet trials on the round-11 host spanning fresh and
+# warm JVMs (1.77-2.77 s, spread ≤1.23x of this pin). The CPU strhash
+# probe is measured blind to I/O/scheduler windows (Pearson r 0.18 vs
+# extract noise in r8; quiet during 4 of 5 r10 stamped slowdowns), so
+# adjudication now consults both probes.
+PINNED_IO_PROBE_SEC = 2.25
+# The io probe's host-window band is wider than the 1.3x regression
+# wire because its quiet spread is wider (disk/page-cache state moves
+# min-of-2 up to ~1.25x on an idle host, vs <1.1x for strhash). 1.5
+# sits above every quiet trial and below any sustained I/O window that
+# could move a min-of-2 entry timing.
+IO_PROBE_WINDOW_RATIO = 1.5
+
+# r10 verdict #3: the extract gate median must survive in-sample host
+# windows (the r10 sample held a 77,328 run 3.4x below its neighbors on
+# identical code, moving the gate median 1.15x -> 1.30x of baseline
+# with no code change). Documented outlier rule, same spirit as the
+# calibration cap: drop any run more than OUTLIER_DROP_FACTOR below the
+# sample max (a half-speed-or-worse run of identical code in the same
+# session is a window, not a plan cost), then take the median of what
+# remains. The unfiltered median stays recorded next to it.
+OUTLIER_DROP_FACTOR = 2.0
+
+
+def _pearson(xs: list[float], ys: list[float]) -> float | None:
+    """Pearson r, or None when the sample is too small/degenerate."""
+    import statistics
+
+    if len(xs) < 3 or len(set(xs)) < 2 or len(set(ys)) < 2:
+        return None
+    mx, my = statistics.fmean(xs), statistics.fmean(ys)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    return round(sxy / (sxx * syy) ** 0.5, 3)
+
 
 def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     """Exactly EXTRACT_RUNS fresh-subprocess runs of the extract kernel
@@ -165,11 +206,29 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     best["runs_8core_strhash_sec"] = probes
     best["runs_extract_sec"] = [r.get("extract_sec") for r in results]
     best["runs_calibrated_pages_per_min_per_core"] = calibrated
-    # THE GATE FIGURE (r8 verdict #3a): plain median of the raw runs
-    best["value_raw_median"] = round(
-        statistics.median(r["value"] for r in results))
+    # THE GATE FIGURE (r8 verdict #3a, outlier rule r10 verdict #3):
+    # median of the raw runs AFTER dropping any run more than
+    # OUTLIER_DROP_FACTOR below the sample max — identical code in the
+    # same session running at under half its own best is a host window
+    # (the r10 sample held a 77,328 run 3.4x below its neighbors), not
+    # a plan cost. The rule is symmetric in spirit with the calibration
+    # cap: it removes window artifacts, it can never push the median
+    # above any rate actually measured. The unfiltered median stays
+    # recorded beside it.
+    raws = [r["value"] for r in results]
+    kept = [v for v in raws if v * OUTLIER_DROP_FACTOR >= max(raws)]
+    dropped = [v for v in raws if v * OUTLIER_DROP_FACTOR < max(raws)]
+    best["value_raw_median"] = round(statistics.median(kept))
+    best["value_raw_median_unfiltered"] = round(statistics.median(raws))
+    best["runs_dropped_as_outliers"] = sorted(dropped)
+    best["outlier_rule"] = (
+        f"runs more than {OUTLIER_DROP_FACTOR}x below the sample max "
+        f"are dropped before the gate median (in-sample host windows; "
+        f"r10 verdict #3); dropped {len(dropped)} of {len(raws)}"
+    )
     best["gate_policy"] = (
-        "the 2x gate reads value_raw_median; value_calibrated_median "
+        "the 2x gate reads value_raw_median (outlier-filtered median "
+        "of the raw runs — see outlier_rule); value_calibrated_median "
         "is a host-window diagnostic only (its probe is CPU-bound and "
         "measured Pearson r 0.18 against extract noise in r8 — "
         "I/O/GC-shaped windows pass through it uncorrected)"
@@ -195,14 +254,23 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
         # (host slow for non-CPU reasons) is self-diagnosing.
         xs = [p for p in probes if p]
         ys = [r.get("extract_sec") for r, p in zip(results, probes) if p]
-        if len(xs) >= 3 and len(set(xs)) > 1 and len(set(ys)) > 1:
-            mx, my = statistics.fmean(xs), statistics.fmean(ys)
-            sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-            sxx = sum((x - mx) ** 2 for x in xs)
-            syy = sum((y - my) ** 2 for y in ys)
-            best["probe_extract_sec_pearson_r"] = round(
-                sxy / (sxx * syy) ** 0.5, 3
-            )
+        r_cpu = _pearson(xs, ys)
+        if r_cpu is not None:
+            best["probe_extract_sec_pearson_r"] = r_cpu
+    # r10 verdict #2: the I/O-shaped probe's correlation against the
+    # same extract times, recorded beside the CPU probe's — the pair
+    # shows WHICH cost class each round's windows live in (r8 measured
+    # the CPU probe at r=0.18 while extract swung 3x, i.e. the windows
+    # were I/O/GC-shaped; this records whether the io probe sees them)
+    io_probes = [
+        r.get("host", {}).get("parquet_io_probe_sec") for r in results
+    ]
+    best["runs_io_probe_sec"] = io_probes
+    xs = [p for p in io_probes if p]
+    ys = [r.get("extract_sec") for r, p in zip(results, io_probes) if p]
+    r_io = _pearson(xs, ys)
+    if r_io is not None:
+        best["io_probe_extract_sec_pearson_r"] = r_io
     best["pinned_probe_sec"] = PINNED_8CORE_STRHASH_SEC
     best["calibration"] = (
         f"raw × (run 8-core strhash probe / pinned "
@@ -266,22 +334,46 @@ N_BASELINE_ROUNDS = 3
 # Entries whose COMPOSITION changed recently (suite membership or
 # parameters) — a cross-round delta on these is an intentional code
 # change, and the adjudication stamp says so instead of mislabeling it
-# a host window or an unexplained regression. An entry stays listed
-# until the min-of-last-N_BASELINE_ROUNDS baseline consists entirely
-# of post-change rounds (the change lands in round R → remove in round
-# R + N_BASELINE_ROUNDS); removing it earlier would re-flag the same
-# delta against a pre-change baseline. Reviewed each round.
-CHANGED_ENTRIES: dict[str, str] = {
-    "ann_lsh_suite": (
+# a host window or an unexplained regression. Each entry records the
+# ROUND its change landed in; _active_changed_note expires the note
+# mechanically once the min-of-last-N_BASELINE_ROUNDS baseline consists
+# entirely of post-change rounds (ADVICE r10: the expiry used to be a
+# comment — a stale note would auto-excuse any real future regression
+# on these entries indefinitely). Expiring earlier would re-flag the
+# same delta against a pre-change baseline.
+CHANGED_ENTRIES: dict[str, tuple[int, str]] = {
+    "ann_lsh_suite": (10, (
         "r10: sq_knn_join folded in as 5th member (r9 verdict #1); "
-        "adds its ~1.1 s sf0.1 cost to the suite (listed through r12)"
-    ),
-    "dedup_docs_suite": (
+        "adds its ~1.1 s sf0.1 cost to the suite"
+    )),
+    "dedup_docs_suite": (10, (
         "new r10 fold (dedup_exact_docs + dedup_multitable_lsh, "
-        "r9 verdict #1); no prior driver figure before r10 "
-        "(listed through r12)"
-    ),
+        "r9 verdict #1); no prior driver figure before r10"
+    )),
+    "compaction_merge": (11, (
+        "r11: window-prefilter plan replaced by the production "
+        "two-phase aggregation (r10 verdict #4) — ~1.3 s slower at "
+        "sf0.1 (two sorts vs one) but skew-bounded at scale: 40.4x -> "
+        "3.3x wall at the 100x hot-key rung, 9.2x -> 1.1x max/median "
+        "merge-task spread, spill -> 0 (SKEW_PROBE.json "
+        "compaction_merge_100x); rows bit-identical, same oracle"
+    )),
 }
+
+
+def _active_changed_note(name: str, baseline_rounds: list[int]) -> str | None:
+    """The composition-change note for ``name``, or None once EVERY
+    round feeding the entry's baseline is at/after the change round —
+    from then on the baseline is entirely post-change figures and a new
+    delta is a real regression, not the remembered composition change.
+    Pinned by tests/test_bench_contract.py::test_changed_entries_expire."""
+    entry = CHANGED_ENTRIES.get(name)
+    if entry is None:
+        return None
+    change_round, note = entry
+    if baseline_rounds and min(baseline_rounds) >= change_round:
+        return None
+    return note
 
 
 def _probe_reason(best_sec: float, baseline_sec: float | None) -> str | None:
@@ -306,6 +398,7 @@ def _adjudicate(
     best_sec: float,
     baseline_sec: float | None,
     probe_sec: float | None,
+    io_probe_sec: float | None = None,
     changed_note: str | None = None,
 ) -> str | None:
     """Auto-adjudicate one entry's cross-round delta (r9 verdict #3 —
@@ -314,24 +407,73 @@ def _adjudicate(
     noise band; otherwise a stamp:
 
     - "expected — ..."     the entry's composition changed this round
-    - "host-window ..."    the in-run probe also ran slow (> ratio ×
-                           the pinned quiet-host 2.203 s), the same
-                           standard that adjudicated r8's dedup family
-    - "unexplained — ..."  the probe was quiet (or missing) while the
+    - "host-window ..."    an in-run probe also ran slow — the CPU
+                           strhash probe above REGRESSION_PROBE_RATIO ×
+                           its pinned 2.203 s, OR (r10 verdict #2) the
+                           parquet scan+write probe above
+                           IO_PROBE_WINDOW_RATIO × its pinned 1.79 s;
+                           the CPU probe alone is measured blind to the
+                           I/O/scheduler windows that caused 4 of 5 r10
+                           stamps
+    - "unexplained — ..."  every captured probe was quiet while the
                            entry regressed: investigate, don't wave off
+                           (main() then re-runs the entry once and
+                           re-stamps via _rerun_adjudicate)
     Pinned by tests/test_bench_contract.py::test_adjudication_policy."""
     if not baseline_sec or best_sec <= REGRESSION_PROBE_RATIO * baseline_sec:
         return None
     if changed_note:
         return f"expected — composition changed: {changed_note}"
-    if probe_sec is None:
+    if probe_sec is None and io_probe_sec is None:
         return "unexplained — regressed but no host probe captured; investigate"
-    ratio = probe_sec / PINNED_8CORE_STRHASH_SEC
-    if ratio > REGRESSION_PROBE_RATIO:
-        return f"host-window (probe {ratio:.2f}x pinned {PINNED_8CORE_STRHASH_SEC} s)"
+    ratio = (probe_sec / PINNED_8CORE_STRHASH_SEC
+             if probe_sec is not None else None)
+    io_ratio = (io_probe_sec / PINNED_IO_PROBE_SEC
+                if io_probe_sec is not None else None)
+    if ratio is not None and ratio > REGRESSION_PROBE_RATIO:
+        return (f"host-window (cpu probe {ratio:.2f}x pinned "
+                f"{PINNED_8CORE_STRHASH_SEC} s)")
+    if io_ratio is not None and io_ratio > IO_PROBE_WINDOW_RATIO:
+        return (f"host-window (io probe {io_ratio:.2f}x pinned "
+                f"{PINNED_IO_PROBE_SEC} s; cpu probe "
+                + (f"{ratio:.2f}x" if ratio is not None else "missing")
+                + ")")
+    quiet = " and ".join(
+        p for p in (
+            f"cpu {ratio:.2f}x" if ratio is not None else None,
+            f"io {io_ratio:.2f}x" if io_ratio is not None else None,
+        ) if p
+    )
     return (
-        f"unexplained — probe quiet ({ratio:.2f}x pinned) while entry "
+        f"unexplained — probes quiet ({quiet} of pinned) while entry "
         f"ran {best_sec / baseline_sec:.2f}x baseline; investigate"
+    )
+
+
+def _rerun_adjudicate(
+    best_sec: float, baseline_sec: float, rerun_sec: float,
+) -> str:
+    """Second-chance stamp for an entry first adjudicated "unexplained"
+    (r10 verdict #1): main() re-runs the entry once in-session — all
+    four r10 unexplained stamps were ≤2.2 s entries whose manual
+    four-runs-same-day investigation (BENCH_R10_WINDOWS.json) showed
+    them flip-flopping on identical plans, so a same-session re-run
+    costs seconds and closes the loop without a human. A re-run back
+    inside the REGRESSION_PROBE_RATIO band proves the first sample was
+    transient; a re-run still outside it is a confirmed regression to
+    investigate. The re-run never replaces the recorded timing — that
+    would be one-directional resampling, the r6 bias (only slow entries
+    would earn extra min() samples). Pinned by
+    tests/test_bench_contract.py::test_rerun_adjudication_policy."""
+    if rerun_sec <= REGRESSION_PROBE_RATIO * baseline_sec:
+        return (
+            f"transient — rerun {rerun_sec:.3f}s within "
+            f"{REGRESSION_PROBE_RATIO}x baseline band "
+            f"(first sample {best_sec:.3f}s)"
+        )
+    return (
+        f"confirmed — rerun {rerun_sec:.3f}s still "
+        f"{rerun_sec / baseline_sec:.2f}x baseline; investigate"
     )
 
 
@@ -445,8 +587,10 @@ def main() -> None:
     runs_sec: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
     host_probe: dict[str, float] = {}
+    io_probe: dict[str, float] = {}
     probe_trigger: dict[str, str] = {}
     adjudication: dict[str, str] = {}
+    adjudication_rerun: dict[str, float] = {}
     baseline, baseline_rounds = _baseline_timings(sf)
     for name, spec in REGISTRY.items():
         samples: list[float] = []
@@ -479,11 +623,41 @@ def main() -> None:
             except Exception as exc:
                 print(f"# host probe for {name} failed: {exc}",
                       file=sys.stderr)
+            # r10 verdict #2: the I/O-shaped probe rides beside the CPU
+            # one — the strhash probe is measured blind to the
+            # I/O/scheduler windows that caused 4 of 5 r10 stamps
+            try:
+                from bench_extract import parquet_io_probe
+
+                io_probe[name] = parquet_io_probe(spark)
+            except Exception as exc:
+                print(f"# io probe for {name} failed: {exc}",
+                      file=sys.stderr)
         # r9 verdict #3: the host-window verdict is now stamped in the
         # artifact instead of living in a human dividing two numbers
         verdict = _adjudicate(timings[name], baseline.get(name),
-                              host_probe.get(name),
-                              CHANGED_ENTRIES.get(name))
+                              host_probe.get(name), io_probe.get(name),
+                              _active_changed_note(name, baseline_rounds))
+        if verdict is not None and verdict.startswith("unexplained") \
+                and baseline.get(name):
+            # r10 verdict #1: a probe-quiet regression gets ONE same-
+            # session re-run — all four r10 unexplained stamps were
+            # ≤2.2 s entries shown (manually, BENCH_R10_WINDOWS.json)
+            # to flip-flop on identical plans; the re-run replaces that
+            # side investigation. Stamp-only: the recorded timing keeps
+            # the original samples (see _rerun_adjudicate).
+            try:
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                _materialize(spec.fn(spark, sf_dir))
+                rerun = time.perf_counter() - t0
+                spark.catalog.clearCache()
+                adjudication_rerun[name] = round(rerun, 3)
+                verdict = _rerun_adjudicate(
+                    timings[name], baseline[name], rerun)
+            except Exception as exc:
+                print(f"# adjudication rerun for {name} failed: {exc}",
+                      file=sys.stderr)
         if verdict is not None:
             adjudication[name] = verdict
         rows[name] = spec.fn(spark, sf_dir).count()
@@ -563,21 +737,29 @@ def main() -> None:
         "runs_sec": runs_sec,
         "spread": spread,
         "host_probe_8core_sec": host_probe,
+        "host_probe_io_sec": io_probe,
         "host_probe_trigger": probe_trigger,
         "host_probe_baseline_sec": {
             n: baseline[n] for n in probe_trigger if n in baseline
         },
         "baseline_rounds": baseline_rounds,
         "adjudication": adjudication,
-        "host_probe_policy": "one 8-core strhash pass after any entry "
+        "adjudication_rerun_sec": adjudication_rerun,
+        "host_probe_policy": "one 8-core strhash pass PLUS one parquet "
+                             "scan+write io probe (min-of-2, pinned "
+                             f"{PINNED_IO_PROBE_SEC} s / window band "
+                             f"{IO_PROBE_WINDOW_RATIO}x) after any entry "
                              "whose best-of-N exceeds 3 s OR exceeds "
                              f"{REGRESSION_PROBE_RATIO}x its min-of-last-"
                              f"{N_BASELINE_ROUNDS}-rounds driver baseline "
-                             "(compare to extract's pinned 2.203 s probe); "
-                             "every regressed entry carries an "
+                             "(strhash compared to extract's pinned "
+                             "2.203 s); every regressed entry carries an "
                              "'adjudication' stamp: expected (composition "
-                             "changed) / host-window (probe also slow) / "
-                             "unexplained (probe quiet — investigate)",
+                             "changed) / host-window (a probe also slow) "
+                             "/ transient (probes quiet but a same-"
+                             "session rerun landed back in band) / "
+                             "confirmed (rerun still out of band — "
+                             "investigate)",
         "warmup": f"each query once at {warm_dir} (codegen steady-state)",
         "timing": "min of 2 isolated runs, escalated to min of 3 when "
                   "best-of-2 > 3 s (cache cleared between); per-run "

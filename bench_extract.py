@@ -54,6 +54,50 @@ def _page(i: int) -> dict:
     }
 
 
+IO_PROBE_ROWS = 8_000_000
+IO_PROBE_DIR = os.path.join(tempfile.gettempdir(), "sparklinks_io_probe")
+_io_probe_warm = False
+
+
+def parquet_io_probe(spark) -> float:
+    """One fixed-size parquet scan+write round trip (min-of-2) — the
+    I/O-shaped host-window probe (r10 verdict #2). The strhash probe is
+    pure CPU and measured BLIND to I/O/scheduler windows: Pearson r
+    0.18 against extract noise in r8, and quiet during 4 of the 5
+    entry slowdowns it was asked to adjudicate in r10
+    (BENCH_R10_WINDOWS.json). This probe pays the same cost classes as
+    the bench workload itself — parquet decode+encode, filesystem
+    read/write, allocation — over a deterministic 8M-row/~278 MB
+    source (range + sha2, byte-identical across builds, cached under
+    /tmp with a _COMPLETE marker).
+
+    min-of-2, matching the entry-timing policy it adjudicates: a
+    window must persist across both passes to move the figure, exactly
+    the persistence needed to move an entry's min-of-2/3 samples.
+    (Single passes measured a 1.46x quiet-host spread — wider than the
+    1.3x regression wire — while quiet min-of-2 stays within ~1.2x of
+    the pin; see bench.PINNED_IO_PROBE_SEC.)"""
+    global _io_probe_warm
+    src = os.path.join(IO_PROBE_DIR, "src.parquet")
+    marker = os.path.join(IO_PROBE_DIR, "_COMPLETE")
+    if not os.path.exists(marker):
+        spark.range(IO_PROBE_ROWS, numPartitions=8).selectExpr(
+            "id", "sha2(cast(id as string), 256) as s", "id % 1000 as k"
+        ).write.mode("overwrite").parquet(src)
+        open(marker, "w").close()
+    dst = os.path.join(IO_PROBE_DIR, "dst.parquet")
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+        return time.perf_counter() - t0
+
+    if not _io_probe_warm:
+        one()  # codegen warm, once per process
+        _io_probe_warm = True
+    return round(min(one(), one()), 3)
+
+
 def host_calibration(spark) -> dict:
     """Single-core JVM arithmetic probe: sum(id*id) over a one-partition
     range — whole-stage-codegen'd, allocation-free, cache-insensitive.
@@ -101,11 +145,38 @@ def host_calibration(spark) -> dict:
                     break
     except OSError:
         pass
+    # r10 verdict #2: the I/O-shaped probe rides next to the CPU one in
+    # every host stamp, so fresh-JVM extract samples carry BOTH figures
+    # and bench.py can correlate each against the run's extract time.
+    try:
+        io_sec = parquet_io_probe(spark)
+    except Exception:
+        io_sec = None
     return {
         "jvm_1core_20M_strhash_sec": round(best, 3),
         "jvm_8core_160M_strhash_sec": round(best8, 3),
+        "parquet_io_probe_sec": io_sec,
         "cpu_model": model,
     }
+
+
+def ensure_corpus(n_pages: int, n_files: int, work: str) -> list[str]:
+    """Deterministic synthetic WAT corpus under ``work`` (generated once,
+    _COMPLETE-marked — identical bytes across builds since _page() is
+    pure); returns the sorted gzip paths. Shared by measure_extract and
+    the attribution probes so they read the very same corpus."""
+    per_file = n_pages // n_files
+    if not os.path.exists(os.path.join(work, "_COMPLETE")):
+        os.makedirs(work, exist_ok=True)
+        for f in range(n_files):
+            path = os.path.join(work, f"bench-{f:05d}.warc.wat.gz")
+            with gzip.open(path, "wt", encoding="utf-8") as out:
+                for i in range(f * per_file, (f + 1) * per_file):
+                    out.write("WARC-Type: metadata\n")
+                    out.write(json.dumps(_page(i)) + "\n")
+        open(os.path.join(work, "_COMPLETE"), "w").close()
+    return [os.path.join(work, p) for p in sorted(os.listdir(work))
+            if p.endswith(".gz")]
 
 
 def measure_extract(spark, n_pages: int, cores: int) -> dict:
@@ -134,19 +205,7 @@ def measure_extract(spark, n_pages: int, cores: int) -> dict:
         work = tempfile.mkdtemp(prefix="watbench-")
         cleanup = True
     try:
-        per_file = n_pages // n_files
-        if not os.path.exists(os.path.join(work, "_COMPLETE")):
-            os.makedirs(work, exist_ok=True)
-            for f in range(n_files):
-                path = os.path.join(work, f"bench-{f:05d}.warc.wat.gz")
-                with gzip.open(path, "wt", encoding="utf-8") as out:
-                    for i in range(f * per_file, (f + 1) * per_file):
-                        out.write("WARC-Type: metadata\n")
-                        out.write(json.dumps(_page(i)) + "\n")
-            open(os.path.join(work, "_COMPLETE"), "w").close()
-
-        paths = [os.path.join(work, p) for p in sorted(os.listdir(work))
-                 if p.endswith(".gz")]
+        paths = ensure_corpus(n_pages, n_files, work)
         links = extract_links(read_wat_pages(spark, paths))
         for _ in range(3):
             links.count()

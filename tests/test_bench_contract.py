@@ -67,9 +67,15 @@ def test_extract_policy_fixed_runs_and_calibrated_median(monkeypatch):
     assert got["value_calibrated_median"] == 300_000
     assert got["calibration_capped"] is False
     # r8 verdict #3a: THE GATE FIGURE is the raw median — calibration
-    # is a diagnostic (its probe measured r=0.18 against extract noise)
-    assert got["value_raw_median"] == 150_000
+    # is a diagnostic (its probe measured r=0.18 against extract noise).
+    # r10 verdict #3: the gate median is outlier-filtered first — 100k
+    # and 75k sit more than 2x below the 300k sample max (in-sample
+    # host windows), so the gate reads median([300k, 150k, 200k]).
+    assert got["value_raw_median"] == 200_000
+    assert got["value_raw_median_unfiltered"] == 150_000
+    assert got["runs_dropped_as_outliers"] == [75_000, 100_000]
     assert "value_raw_median" in got["gate_policy"]
+    assert "outlier" in got["gate_policy"]
 
 
 def test_calibrated_median_capped_at_best_raw(monkeypatch):
@@ -201,27 +207,86 @@ def test_adjudication_policy():
     import bench
 
     pin = bench.PINNED_8CORE_STRHASH_SEC
+    io_pin = bench.PINNED_IO_PROBE_SEC
     # inside the noise band, or no baseline → nothing to adjudicate
     assert bench._adjudicate(1.2, 1.0, None) is None
     assert bench._adjudicate(5.0, None, None) is None
-    # regressed + slow probe → host-window, with the ratio in the stamp
+    # regressed + slow cpu probe → host-window, ratio in the stamp
     got = bench._adjudicate(1.6, 1.0, 1.7 * pin)
     assert got is not None and got.startswith("host-window")
     assert "1.70x" in got
-    # regressed + quiet probe → unexplained, flagged for investigation
+    # r10 verdict #2: quiet cpu probe but slow IO probe → host-window
+    # too — the strhash probe is blind to I/O/scheduler windows (4 of 5
+    # r10 stamps). The io band is IO_PROBE_WINDOW_RATIO (1.5, wider
+    # than the 1.3 wire: quiet min-of-2 io trials spread to ~1.2x).
+    assert bench.IO_PROBE_WINDOW_RATIO == 1.5
+    got = bench._adjudicate(1.6, 1.0, 1.0 * pin, 1.8 * io_pin)
+    assert got is not None and got.startswith("host-window")
+    assert "io probe 1.80x" in got
+    # io probe inside ITS band does not stamp a window
+    got = bench._adjudicate(1.6, 1.0, 1.0 * pin, 1.4 * io_pin)
+    assert got is not None and got.startswith("unexplained")
+    assert "io 1.40x" in got
+    # regressed + quiet probes → unexplained, flagged for investigation
     got = bench._adjudicate(1.6, 1.0, 1.0 * pin)
     assert got is not None and got.startswith("unexplained")
     # regressed + no probe captured → unexplained as well
-    got = bench._adjudicate(1.6, 1.0, None)
+    got = bench._adjudicate(1.6, 1.0, None, None)
     assert got is not None and got.startswith("unexplained")
-    # composition changed this round → expected, regardless of probe
-    got = bench._adjudicate(1.6, 1.0, 1.0 * pin, "membership grew")
+    # composition changed this round → expected, regardless of probes
+    got = bench._adjudicate(1.6, 1.0, 1.0 * pin,
+                            changed_note="membership grew")
     assert got is not None and got.startswith("expected")
     # CHANGED_ENTRIES must only name current registry entries — a stale
     # note would silently excuse a real future regression
     from globallinks_spark.queries import REGISTRY
 
     assert set(bench.CHANGED_ENTRIES) <= set(REGISTRY)
+
+
+def test_changed_entries_expire_with_baseline_window():
+    """ADVICE r10: the 'listed through r12' expiry used to be a comment
+    — now each CHANGED_ENTRIES value records its change round and
+    _active_changed_note expires mechanically once every baseline round
+    is post-change, so a stale note can never auto-excuse a real future
+    regression."""
+    import bench
+
+    # every value is (change_round, note)
+    for name, (change_round, note) in bench.CHANGED_ENTRIES.items():
+        assert isinstance(change_round, int) and isinstance(note, str)
+    name = next(iter(bench.CHANGED_ENTRIES))
+    change_round = bench.CHANGED_ENTRIES[name][0]
+    # a baseline window still containing pre-change rounds → active
+    assert bench._active_changed_note(
+        name, [change_round, change_round - 1, change_round - 2]
+    ) is not None
+    # baseline entirely post-change → expired (r10 change: active
+    # through r12's [12, 11, 10] window, expired at r13's [12, 11, 10]
+    # ... i.e. min >= change_round)
+    assert bench._active_changed_note(
+        name, [change_round + 2, change_round + 1, change_round]
+    ) is None
+    # unknown entries and empty history behave safely
+    assert bench._active_changed_note("no_such_entry", [9, 8, 7]) is None
+    assert bench._active_changed_note(name, []) is not None
+
+
+def test_rerun_adjudication_policy():
+    """r10 verdict #1: an 'unexplained' stamp triggers ONE same-session
+    re-run of the entry; back inside the REGRESSION_PROBE_RATIO band →
+    'transient', still outside → 'confirmed'. The re-run never replaces
+    the recorded timing (one-directional resampling is the r6 bias)."""
+    import bench
+
+    got = bench._rerun_adjudicate(1.6, 1.0, 1.1)
+    assert got.startswith("transient")
+    assert "1.100s" in got and "1.600s" in got
+    # exactly on the band edge counts as within (same <= the wire uses)
+    assert bench._rerun_adjudicate(1.6, 1.0, 1.3).startswith("transient")
+    got = bench._rerun_adjudicate(1.6, 1.0, 1.55)
+    assert got.startswith("confirmed")
+    assert "1.55x" in got
 
 
 def test_baseline_timings_takes_min_over_recent_rounds():
