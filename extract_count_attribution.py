@@ -47,24 +47,25 @@ def _stages(spark) -> list[dict]:
 
 
 def _corpus_paths(n_pages: int) -> list[str]:
-    work = os.path.join(CACHE, f"n{n_pages}_f8")
-    if not os.path.exists(os.path.join(work, "_COMPLETE")):
-        raise SystemExit(
-            f"missing cached corpus {work} — run extract_scaling.py first"
-        )
-    return [os.path.join(work, p) for p in sorted(os.listdir(work))
-            if p.endswith(".gz")]
+    from bench_extract import ensure_corpus
+
+    # generated on demand (single-threaded Python, untimed — minutes at
+    # the 10M rung, cached across processes by the _COMPLETE marker)
+    return ensure_corpus(n_pages, 8, os.path.join(CACHE, f"n{n_pages}_f8"))
 
 
-def _rung(spark, n_pages: int, runs: int = 2) -> dict:
+def _rung(spark, n_pages: int, runs: int = 2,
+          dedup_partitions: int | None = None) -> dict:
     # codegen warm on the CHEAP corpus — generated code is keyed by the
     # plan's expressions/schema, not file paths, so three 1M counts
     # settle Janino + C2 for the 10M plan at 1/10th the cost
-    warm = extract_links(read_wat_pages(spark, _corpus_paths(1_000_000)))
+    warm = extract_links(read_wat_pages(spark, _corpus_paths(1_000_000)),
+                         dedup_partitions=dedup_partitions)
     for _ in range(3):
         warm.count()
 
-    links = extract_links(read_wat_pages(spark, _corpus_paths(n_pages)))
+    links = extract_links(read_wat_pages(spark, _corpus_paths(n_pages)),
+                          dedup_partitions=dedup_partitions)
 
     # the 10M rung runs ONCE by default (a single count is ~4 min wall;
     # the attribution reads metric SHARES within the run — GC vs CPU vs
@@ -165,6 +166,70 @@ def _merge(lo: dict, hi: dict, out_json: str) -> None:
         json.dump(doc, fh, indent=1)
 
 
+def _mitigate(out_json: str, dedup_partitions: int = 256) -> None:
+    """r10 verdict #5: prove the 10M dedup-agg spill fix in miniature.
+
+    The attributed cost (count_path_attribution): at 8 × 1.25M-page
+    gzip map tasks, the A2 dedup's MAP-side partial aggregate builds
+    ~15M-link hash state per task and spills ~14 GB per side (zero at
+    1M), costing the count path ~18% of its 1M-rung per-core
+    throughput. The knob — extract_links(dedup_partitions=N)
+    (operators/extract.link_rows) — repartitions by the dedup key
+    first, so scan tasks carry no aggregation state and reduce-side
+    state shrinks with N. Both plans run in ONE process minutes apart
+    (shared host window), stage metrics from the UI REST API; the
+    artifact records spill and wall for baseline vs knob plus the
+    1M-rung reference from the same session.
+    """
+    spark = get_spark(app_name="extract_count_attribution",
+                      extra_conf={"spark.ui.enabled": "true"})
+    lo = _rung(spark, 1_000_000, runs=2)
+    base = _rung(spark, 10_000_000, runs=1)
+    fixed = _rung(spark, 10_000_000, runs=1,
+                  dedup_partitions=dedup_partitions)
+    spark.stop()
+
+    def spill(r: dict) -> dict:
+        return {
+            "memory_spill_mb": round(sum(
+                s["memory_spill_mb"] for s in r["stages"]), 1),
+            "disk_spill_mb": round(sum(
+                s["disk_spill_mb"] for s in r["stages"]), 1),
+        }
+
+    section = {
+        "knob": f"extract_links(dedup_partitions={dedup_partitions}) — "
+                "repartition by the A2 dedup key before dropDuplicates "
+                "(operators/extract.link_rows): the dedup aggregation "
+                "runs entirely post-exchange, scan tasks carry zero agg "
+                "state, reduce state shrinks with N",
+        "rungs": {
+            "1M_baseline": {**spill(lo), "wall_sec": lo["wall_sec"],
+                            "us_per_page_wall_x8": lo["us_per_page"]["wall_x8cores"]},
+            "10M_baseline": {**spill(base), "wall_sec": base["wall_sec"],
+                             "us_per_page_wall_x8": base["us_per_page"]["wall_x8cores"],
+                             "stages": base["stages"]},
+            "10M_mitigated": {**spill(fixed), "wall_sec": fixed["wall_sec"],
+                              "us_per_page_wall_x8": fixed["us_per_page"]["wall_x8cores"],
+                              "stages": fixed["stages"]},
+        },
+        "ratio_1m_to_10m_baseline": round(
+            lo["us_per_page"]["wall_x8cores"]
+            / base["us_per_page"]["wall_x8cores"], 3),
+        "ratio_1m_to_10m_mitigated": round(
+            lo["us_per_page"]["wall_x8cores"]
+            / fixed["us_per_page"]["wall_x8cores"], 3),
+    }
+    print(json.dumps(section, indent=1))
+    doc = {}
+    if os.path.exists(out_json):
+        with open(out_json, encoding="utf-8") as fh:
+            doc = json.load(fh)
+    doc["count_path_mitigation"] = section
+    with open(out_json, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, indent=1)
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "rung"
     if mode == "pair":
@@ -193,6 +258,11 @@ def main() -> None:
             json.dump(result, fh, indent=1)
         print(json.dumps(result, indent=1))
         spark.stop()
+    elif mode == "mitigate":
+        out_json = sys.argv[2] if len(sys.argv) > 2 else \
+            "EXTRACT_SCALING_10M.json"
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+        _mitigate(out_json, n)
     elif mode == "merge":
         lo_path, hi_path, out_json = sys.argv[2], sys.argv[3], sys.argv[4]
         with open(lo_path, encoding="utf-8") as fh:

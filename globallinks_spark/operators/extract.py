@@ -203,16 +203,41 @@ def explode_links(pages: DataFrame) -> DataFrame:
     )
 
 
-def link_rows(classified: DataFrame) -> DataFrame:
+A2_DEDUP_KEY = (
+    "link_domain", "link_sub_domain", "link_path", "link_raw_query",
+    "page_host", "page_path", "page_raw_query",
+)
+
+
+def link_rows(
+    classified: DataFrame, dedup_partitions: int | None = None,
+) -> DataFrame:
     """The 14-column link frame (LINK_SCHEMA order), deduped on the
     reference's per-file key — link host+path+query × page host+path+query
     (A2, farmhash key at wat.go:365). dropDuplicates compiles to a
     partial-then-final aggregate around one shuffle, which is exactly the
     reference's per-file map + global sort -u staging (SURVEY §4 X1).
 
+    ``dedup_partitions`` — the big-map-task spill knob (r10 verdict #5):
+    when gzip inputs are few and huge (8 × 1.25M-page files at the 10M
+    probe rung; any skewed archive slice in production), the MAP-side
+    partial aggregate builds a per-task hash of ~every emitted link —
+    link keys are mostly unique, so the partial agg dedups almost
+    nothing while its state spills (~14 GB/side measured at the 10M
+    rung, EXTRACT_SCALING_10M.json). Setting ``dedup_partitions``
+    repartitions by the dedup key FIRST: the dedup aggregation then
+    runs entirely post-exchange (the agg's required distribution is
+    already satisfied, so no second shuffle), scan tasks carry zero agg
+    state, and per-reduce-task state shrinks with N. Size it so
+    rows/N × ~250 B stays well under executor memory per slot. The
+    default (None) keeps the partial-then-final plan — right whenever
+    input splits are already cluster-sized (~125k pages/file archive
+    layout), where per-task state is small and map-side collapse is
+    free.
+
     The filter and subdomain derivation reference only named columns —
     nothing heavy re-inlines."""
-    return (
+    out = (
         classified.filter(F.col("link_class") == "emitted")
         .select(
             "link_domain",
@@ -223,11 +248,10 @@ def link_rows(classified: DataFrame) -> DataFrame:
             U.scrub_delimiter(F.col("link_text")).alias("link_text"),
             "no_follow", "no_index", "date_imported", "ip",
         )
-        .dropDuplicates([
-            "link_domain", "link_sub_domain", "link_path", "link_raw_query",
-            "page_host", "page_path", "page_raw_query",
-        ])
     )
+    if dedup_partitions:
+        out = out.repartition(dedup_partitions, *A2_DEDUP_KEY)
+    return out.dropDuplicates(list(A2_DEDUP_KEY))
 
 
 def page_rows(classified: DataFrame) -> DataFrame:
@@ -264,10 +288,15 @@ def page_rows(classified: DataFrame) -> DataFrame:
     ).dropDuplicates(["host", "path", "raw_query"])
 
 
-def extract_links(wat_pages: DataFrame) -> DataFrame:
-    """End-to-end: WAT page frame → 14-column external link rows."""
+def extract_links(
+    wat_pages: DataFrame, dedup_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end: WAT page frame → 14-column external link rows.
+    ``dedup_partitions`` — see :func:`link_rows` (big-map-task spill
+    knob; default None keeps the partial-then-final dedup plan)."""
     return link_rows(
-        explode_links(content_quality_gate(pages_with_url_record(wat_pages)))
+        explode_links(content_quality_gate(pages_with_url_record(wat_pages))),
+        dedup_partitions=dedup_partitions,
     )
 
 

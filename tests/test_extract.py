@@ -26,6 +26,38 @@ def _by_key(rows):
     }
 
 
+class TestDedupPartitionsKnob:
+    """r10 verdict #5: the big-map-task spill knob. dedup_partitions
+    repartitions by the A2 key before dropDuplicates — rows must be
+    identical to the default plan, and the dedup aggregation must reuse
+    the explicit exchange (exactly ONE Exchange in the plan, sized by
+    the knob) so scan tasks carry no aggregation state."""
+
+    def test_rows_identical_and_single_exchange(self, spark, tmp_path):
+        p = tmp_path / "knob-00000.warc.wat.gz"
+        write_wat_file(str(p))
+        pages = read_wat_pages(spark, str(p))
+        base = extract.extract_links(pages)
+        knob = extract.extract_links(pages, dedup_partitions=4)
+        # (exceptAll would be the idiomatic comparison, but its
+        # replicator rewrite trips a Catalyst pruning bug on the
+        # Repartition+Deduplicate plan — ATTRIBUTE_NOT_FOUND — so the
+        # 7-row goldens are compared driver-side)
+        assert sorted(map(tuple, base.collect())) == \
+            sorted(map(tuple, knob.collect()))
+        plan = knob._jdf.queryExecution().executedPlan().toString()
+        # the ONLY shuffle is the explicit repartition on the A2 key,
+        # sized by the knob; the dedup aggregate reuses it — no
+        # ENSURE_REQUIREMENTS exchange of its own. (The executed AQE
+        # plan prints final + initial sections, so the repartition line
+        # can appear twice; the other Exchanges are PSL broadcasts.)
+        shuffles = [ln for ln in plan.splitlines()
+                    if "Exchange hashpartitioning" in ln]
+        assert shuffles, "expected the explicit repartition exchange"
+        assert all("REPARTITION_BY_NUM" in ln and ", 4)" in ln
+                   for ln in shuffles), shuffles
+
+
 class TestGoldenExtraction:
     def test_row_count(self, links):
         # page1: target-one.org ×2 (bare + www; uppercase dup deduped),
