@@ -247,7 +247,7 @@ def main() -> None:
             dominant = None
             for tag, d in (("sf0.1", SRC), (f"sf{factor}x", big_dir)):
                 samples: list[float] = []
-                for _ in range(runs):
+                for i_run in range(runs):
                     prior = ({s.get("stageId")
                               for s in _completed_stages(spark)}
                              if stage_detail and d == big_dir else set())
@@ -260,12 +260,21 @@ def main() -> None:
                     if stage_detail and d == big_dir:
                         dom = _dominant_stage(spark, prior)
                         # keep the attribution of the FASTEST big run —
-                        # the plan's reproducible cost, not a noise spike
+                        # the plan's reproducible cost, not a noise spike.
+                        # ADVICE r10: stamp WHICH run it came from — when
+                        # the fastest run's REST fetch fails, the kept
+                        # attribution is a slower run's, and without the
+                        # stamp that mismatch with min(runs_sec) was
+                        # invisible in the artifact.
                         if dom is not None and (
                             dominant is None
                             or samples[-1] == min(samples)
                         ):
-                            dominant = dom
+                            dominant = dict(
+                                dom,
+                                attributed_run_index=i_run,
+                                attributed_run_sec=round(samples[-1], 3),
+                            )
                 times[tag] = round(min(samples), 3)
                 runs_sec[tag] = [round(s, 3) for s in samples]
             ratio = round(times[f"sf{factor}x"] / max(times["sf0.1"], 1e-9), 2)
