@@ -323,6 +323,16 @@ def _materialize(df) -> None:
 # far (1.3×-8.7×).
 REGRESSION_PROBE_RATIO = 1.3
 
+# The regression wire's absolute floor: an entry must regress by MORE
+# than this many seconds (as well as >REGRESSION_PROBE_RATIO relative)
+# to trip. Sub-0.3 s entries live at local-mode scheduling granularity
+# — dataset_split (3 output rows) measured 0.21-0.62 s across quiet
+# same-code sessions in r10 (BENCH_R10_WINDOWS) and r11, where 1.3x is
+# ~60 ms of jitter; it drew an "unexplained" stamp in BOTH rounds with
+# nothing to find. A real regression on a tiny entry (2x = +0.2 s+)
+# still clears the floor.
+REGRESSION_MIN_DELTA_SEC = 0.15
+
 # How many prior driver rounds feed the per-entry regression baseline.
 # r9 verdict #4: comparing only against the PREVIOUS round lets a
 # ~1.26×/round drift compound to 1.6× over two rounds without ever
@@ -385,11 +395,13 @@ def _probe_reason(best_sec: float, baseline_sec: float | None) -> str | None:
     tests/test_bench_contract.py::test_regression_probe_policy."""
     if best_sec > 3.0:
         return "abs>3s"
-    if baseline_sec and best_sec > REGRESSION_PROBE_RATIO * baseline_sec:
+    if (baseline_sec
+            and best_sec > REGRESSION_PROBE_RATIO * baseline_sec
+            and best_sec - baseline_sec > REGRESSION_MIN_DELTA_SEC):
         return (
             f"regression {best_sec:.3f}s vs min-of-last-"
             f"{N_BASELINE_ROUNDS}-rounds {baseline_sec:.3f}s "
-            f"(>{REGRESSION_PROBE_RATIO}x)"
+            f"(>{REGRESSION_PROBE_RATIO}x and >{REGRESSION_MIN_DELTA_SEC}s)"
         )
     return None
 
@@ -420,7 +432,9 @@ def _adjudicate(
                            (main() then re-runs the entry once and
                            re-stamps via _rerun_adjudicate)
     Pinned by tests/test_bench_contract.py::test_adjudication_policy."""
-    if not baseline_sec or best_sec <= REGRESSION_PROBE_RATIO * baseline_sec:
+    if (not baseline_sec
+            or best_sec <= REGRESSION_PROBE_RATIO * baseline_sec
+            or best_sec - baseline_sec <= REGRESSION_MIN_DELTA_SEC):
         return None
     if changed_note:
         return f"expected — composition changed: {changed_note}"
@@ -465,7 +479,8 @@ def _rerun_adjudicate(
     would be one-directional resampling, the r6 bias (only slow entries
     would earn extra min() samples). Pinned by
     tests/test_bench_contract.py::test_rerun_adjudication_policy."""
-    if rerun_sec <= REGRESSION_PROBE_RATIO * baseline_sec:
+    if (rerun_sec <= REGRESSION_PROBE_RATIO * baseline_sec
+            or rerun_sec - baseline_sec <= REGRESSION_MIN_DELTA_SEC):
         return (
             f"transient — rerun {rerun_sec:.3f}s within "
             f"{REGRESSION_PROBE_RATIO}x baseline band "

@@ -190,6 +190,17 @@ def test_regression_probe_policy():
     assert bench._probe_reason(1.2, 1.0) is None
     # first round / entry renamed: no baseline, small time → none
     assert bench._probe_reason(1.6, None) is None
+    # r11: the wire has an absolute floor — sub-0.3 s entries live at
+    # local-mode scheduling granularity (dataset_split drew stamps in
+    # r10 AND r11 on 60-80 ms of jitter); a delta must exceed BOTH the
+    # 1.3x ratio and REGRESSION_MIN_DELTA_SEC to trip, on the wire and
+    # in both adjudication stages
+    assert bench.REGRESSION_MIN_DELTA_SEC == 0.15
+    assert bench._probe_reason(0.287, 0.21) is None
+    assert bench._adjudicate(0.287, 0.21, None) is None
+    assert bench._rerun_adjudicate(0.3, 0.21, 0.29).startswith("transient")
+    # a real 2x regression on a tiny entry still clears the floor
+    assert bench._probe_reason(0.42, 0.21) is not None
     # the drift case that motivated min-of-3: two consecutive 1.26×
     # rounds (1.0 → 1.26 → 1.588). vs the previous round 1.588/1.26 =
     # 1.26 < 1.3 would stay silent; vs the min-of-3 baseline (1.0) the
