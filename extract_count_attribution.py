@@ -219,6 +219,16 @@ def _mitigate(out_json: str, dedup_partitions: int = 256) -> None:
         "ratio_1m_to_10m_mitigated": round(
             lo["us_per_page"]["wall_x8cores"]
             / fixed["us_per_page"]["wall_x8cores"], 3),
+        "interpretation": (
+            "the AGGREGATION spill (sort-based fallback of the dedup "
+            "hash state, the attributed 18% cost) is eliminated: the "
+            "256-task reduce stage spills zero. The residual map-stage "
+            "'spill' is byte-equal to its shuffle write — the "
+            "exchange's streaming external sort doing one sequential "
+            "disk pass over data 8 fat gzip tasks must ship anyway — "
+            "linear, and gone when input splits are cluster-sized "
+            "(90k files -> ~125k-page map tasks)"
+        ),
     }
     print(json.dumps(section, indent=1))
     doc = {}
