@@ -492,6 +492,43 @@ def _rerun_adjudicate(
     )
 
 
+# How many sibling window-evidence stamps (host-window or transient)
+# in one session make a "confirmed" stamp suspect: a window that
+# OUTLASTS the session defeats the in-session rerun too (measured —
+# BENCH_R11_WINDOW_RUN.json's ann_ivf read 2.2x baseline through its
+# rerun inside a session where 8 siblings stamped window evidence,
+# then 1.12x on a quiet re-measure minutes later), and widespread
+# same-session stamps are exactly what such a window looks like.
+SESSION_WINDOW_STAMPS = 3
+
+
+def _contextualize_confirmed(adjudication: dict[str, str]) -> dict[str, str]:
+    """Post-pass over the per-entry stamps: annotate every "confirmed"
+    verdict with the session-wide window evidence when
+    SESSION_WINDOW_STAMPS or more sibling entries stamped host-window
+    or transient in the same run — the reader then knows the confirmed
+    stamp rode a session-long window and needs a quiet-session recheck
+    before being treated as a plan regression. A confirmed stamp in an
+    otherwise-quiet session stays clean, which is the strong signal.
+    Pinned by tests/test_bench_contract.py::test_confirmed_context."""
+    windowish = sum(
+        1 for v in adjudication.values()
+        if v.startswith("host-window") or v.startswith("transient")
+    )
+    if windowish < SESSION_WINDOW_STAMPS:
+        return adjudication
+    return {
+        name: (
+            f"{v}; NOTE: {windowish} sibling entries stamped "
+            f"host-window/transient this session — a session-long "
+            f"window also defeats the in-session rerun; recheck on a "
+            f"quiet session before treating as a plan regression"
+            if v.startswith("confirmed") else v
+        )
+        for name, v in adjudication.items()
+    }
+
+
 def _round_query_timings(
     sf: float | None = None,
 ) -> list[tuple[int, dict[str, float]]]:
@@ -758,7 +795,7 @@ def main() -> None:
             n: baseline[n] for n in probe_trigger if n in baseline
         },
         "baseline_rounds": baseline_rounds,
-        "adjudication": adjudication,
+        "adjudication": _contextualize_confirmed(adjudication),
         "adjudication_rerun_sec": adjudication_rerun,
         "host_probe_policy": "one 8-core strhash pass PLUS one parquet "
                              "scan+write io probe (min-of-2, pinned "

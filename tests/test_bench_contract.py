@@ -283,6 +283,32 @@ def test_changed_entries_expire_with_baseline_window():
     assert bench._active_changed_note(name, []) is not None
 
 
+def test_confirmed_context():
+    """A 'confirmed' stamp is annotated when the same session carries
+    widespread window evidence (>= SESSION_WINDOW_STAMPS sibling
+    host-window/transient stamps): a window outlasting the session
+    defeats the in-session rerun too, so such a confirmed verdict
+    needs a quiet-session recheck. In a quiet session it stays clean —
+    the strong signal."""
+    import bench
+
+    assert bench.SESSION_WINDOW_STAMPS == 3
+    windowed = {
+        "a": "host-window (cpu probe 1.84x pinned 2.203 s)",
+        "b": "host-window (cpu probe 1.65x pinned 2.203 s)",
+        "c": "transient — rerun 1.000s within 1.3x baseline band "
+             "(first sample 1.500s)",
+        "d": "confirmed — rerun 3.161s still 2.22x baseline; investigate",
+        "e": "expected — composition changed: note",
+    }
+    got = bench._contextualize_confirmed(windowed)
+    assert "NOTE: 3 sibling entries" in got["d"]
+    assert got["a"] == windowed["a"] and got["e"] == windowed["e"]
+    # quiet session: confirmed stays clean
+    quiet = {"d": windowed["d"], "c": windowed["c"]}
+    assert bench._contextualize_confirmed(quiet) == quiet
+
+
 def test_rerun_adjudication_policy():
     """r10 verdict #1: an 'unexplained' stamp triggers ONE same-session
     re-run of the entry; back inside the REGRESSION_PROBE_RATIO band →
