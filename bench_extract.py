@@ -71,12 +71,15 @@ def parquet_io_probe(spark) -> float:
     source (range + sha2, byte-identical across builds, cached under
     /tmp with a _COMPLETE marker).
 
-    min-of-2, matching the entry-timing policy it adjudicates: a
-    window must persist across both passes to move the figure, exactly
-    the persistence needed to move an entry's min-of-2/3 samples.
-    (Single passes measured a 1.46x quiet-host spread — wider than the
-    1.3x regression wire — while quiet min-of-2 stays within ~1.2x of
-    the pin; see bench.PINNED_IO_PROBE_SEC.)"""
+    min-of-3 (r11 verdict #5 — was min-of-2): a window must persist
+    across all passes to move the figure, the same persistence needed
+    to move an entry's min-of-2/3 samples. Single passes measured a
+    1.46x quiet-host spread — wider than the 1.3x regression wire —
+    quiet min-of-2 spread to ~1.25x of the pin, leaving a blind band
+    under the 1.5x window threshold; min-of-3 tightens the quiet
+    spread (r12 recalibration trials in bench.PIN_PROVENANCE), so a
+    reading near the 1.5x band is evidence, not sampling noise. The
+    pinned quiet figure is bench.PINNED_IO_PROBE_SEC."""
     global _io_probe_warm
     src = os.path.join(IO_PROBE_DIR, "src.parquet")
     marker = os.path.join(IO_PROBE_DIR, "_COMPLETE")
@@ -95,7 +98,7 @@ def parquet_io_probe(spark) -> float:
     if not _io_probe_warm:
         one()  # codegen warm, once per process
         _io_probe_warm = True
-    return round(min(one(), one()), 3)
+    return round(min(one(), one(), one()), 3)
 
 
 def host_calibration(spark) -> dict:
@@ -160,20 +163,38 @@ def host_calibration(spark) -> dict:
     }
 
 
+def _write_corpus_file(args: tuple[str, int, int]) -> None:
+    path, lo, hi = args
+    with gzip.open(path, "wt", encoding="utf-8") as out:
+        for i in range(lo, hi):
+            out.write("WARC-Type: metadata\n")
+            out.write(json.dumps(_page(i)) + "\n")
+
+
 def ensure_corpus(n_pages: int, n_files: int, work: str) -> list[str]:
     """Deterministic synthetic WAT corpus under ``work`` (generated once,
     _COMPLETE-marked — identical bytes across builds since _page() is
     pure); returns the sorted gzip paths. Shared by measure_extract and
-    the attribution probes so they read the very same corpus."""
+    the attribution probes so they read the very same corpus. Files are
+    independent page ranges, so generation (untimed, pure-Python, and
+    minutes-long at the 10M-page rungs) runs in a process pool."""
     per_file = n_pages // n_files
     if not os.path.exists(os.path.join(work, "_COMPLETE")):
         os.makedirs(work, exist_ok=True)
-        for f in range(n_files):
-            path = os.path.join(work, f"bench-{f:05d}.warc.wat.gz")
-            with gzip.open(path, "wt", encoding="utf-8") as out:
-                for i in range(f * per_file, (f + 1) * per_file):
-                    out.write("WARC-Type: metadata\n")
-                    out.write(json.dumps(_page(i)) + "\n")
+        jobs = [
+            (os.path.join(work, f"bench-{f:05d}.warc.wat.gz"),
+             f * per_file, (f + 1) * per_file)
+            for f in range(n_files)
+        ]
+        if len(jobs) > 1:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(
+                max_workers=min(len(jobs), os.cpu_count() or 8)
+            ) as pool:
+                list(pool.map(_write_corpus_file, jobs))
+        else:
+            _write_corpus_file(jobs[0])
         open(os.path.join(work, "_COMPLETE"), "w").close()
     return [os.path.join(work, p) for p in sorted(os.listdir(work))
             if p.endswith(".gz")]
@@ -197,7 +218,12 @@ def measure_extract(spark, n_pages: int, cores: int) -> dict:
     # run for identical bytes; the deterministic _page() content makes
     # the cache exact). Unset → the original per-run tempdir.
     cache_root = os.environ.get("WATBENCH_CACHE_DIR")
-    n_files = max(cores, 1)
+    # WATBENCH_N_FILES: override the one-file-per-core default — the
+    # cluster-split rung (r11 verdict #3) reads 10M pages as 64 gzip
+    # files (~156k pages/task, the archive-layout shape) instead of 8
+    # fat ones, so the A2 dedup's per-map-task agg state matches what a
+    # real segment import carries.
+    n_files = int(os.environ.get("WATBENCH_N_FILES", "0")) or max(cores, 1)
     if cache_root:
         work = os.path.join(cache_root, f"n{n_pages}_f{n_files}")
         cleanup = False

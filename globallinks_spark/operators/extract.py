@@ -288,6 +288,74 @@ def page_rows(classified: DataFrame) -> DataFrame:
     ).dropDuplicates(["host", "path", "raw_query"])
 
 
+# ----- auto-sizing for the dedup_partitions knob (r11 verdict #3) -----
+# The spill knob was proven in r10/r11 (reduce-agg spill -> 0 at the
+# 10M-page rung) but manual — a production run_import over fat gzip
+# inputs would still hit the measured ~14 GB/side spill unless the
+# operator remembered it. These constants derive it from input stats:
+#
+# AUTO_DEDUP_PAGES_PER_TASK — pages per gzip map task above which the
+#   map-side partial aggregate's state is worth eliminating. Measured
+#   anchors: 1.25M-page tasks spill ~1.9 GB/task of agg state (10M rung,
+#   EXTRACT_SCALING_10M.json); 125k-page tasks (the ~90k-file archive
+#   layout) carry ~190 MB and never spill. 300k pages/task (~450 MB
+#   state at ~12 links/page x ~250 B/key) stays under local-mode's
+#   ~300 MB-per-slot execution memory only with map-side collapse —
+#   above it, pre-exchanging is strictly better.
+# AUTO_DEDUP_TARGET_ROWS_PER_TASK — emitted links per post-exchange
+#   reduce task: 2M rows x ~250 B ≈ 500 MB of per-task agg state, well
+#   inside a cluster executor's multi-GB-per-core budget and safely
+#   spill-free at local-mode's grant too (state is spread over N tasks).
+# EST_LINKS_PER_PAGE — sizing estimate: the synthetic corpus measures 8
+#   EMITTED links/page (links_out/n_pages, bench_extract) out of 12 raw
+#   anchors; 12 is used as the upper bound — oversizing N by 1.5x costs
+#   a few empty tasks, undersizing risks the spill the knob exists to
+#   prevent.
+AUTO_DEDUP_PAGES_PER_TASK = 300_000
+AUTO_DEDUP_TARGET_ROWS_PER_TASK = 2_000_000
+EST_LINKS_PER_PAGE = 12
+
+
+def auto_dedup_partitions(
+    spark, wat_paths: str | list[str],
+    pages_per_task_threshold: int = AUTO_DEDUP_PAGES_PER_TASK,
+) -> int | None:
+    """Derive ``dedup_partitions`` from the input's ACTUAL shape
+    (r11 verdict #3): one decompress-only counting pre-pass — lines
+    starting with '{' per gzip file, no JSON parsing — yields the exact
+    per-map-task page count (gzip is unsplittable, one task per file).
+    Returns None (keep the partial-then-final plan) when every file is
+    under ``pages_per_task_threshold`` pages; otherwise the exchange
+    width ceil(total_pages x EST_LINKS_PER_PAGE /
+    AUTO_DEDUP_TARGET_ROWS_PER_TASK), floored at the session's default
+    parallelism so the reduce side never has fewer tasks than cores.
+
+    Why count instead of estimating from file bytes: gz bytes/page
+    varies ~80x between corpora (synthetic bench pages compress to
+    ~93 B; production WAT pages run ~8 KB), so any bytes-based
+    estimate is wrong by orders of magnitude for one of them. The
+    count pass is a single gzip decode at ~5-10% of the full extract's
+    cost (no JSON parse, no shuffle, no output), paid only once per
+    segment — and only its VERDICT is data-dependent; a wrong
+    links-per-page guess changes task COUNT, not correctness."""
+    import math
+
+    counts = (
+        spark.read.option("ignoreCorruptFiles", "true").text(wat_paths)
+        .where(F.col("value").startswith("{"))
+        .groupBy(F.input_file_name().alias("f"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+        .first()
+    )
+    if not counts or not counts.mx or counts.mx <= pages_per_task_threshold:
+        return None
+    n = math.ceil(
+        counts.total * EST_LINKS_PER_PAGE / AUTO_DEDUP_TARGET_ROWS_PER_TASK
+    )
+    return max(n, spark.sparkContext.defaultParallelism)
+
+
 def extract_links(
     wat_pages: DataFrame, dedup_partitions: int | None = None,
 ) -> DataFrame:

@@ -1220,9 +1220,15 @@ def near_dup_pairs_multitable(
     # vector, where the replaced zip_with/aggregate expressions degraded
     # to null margins (the row simply hashed nowhere). Restore that
     # behavior declaratively: drop dirty rows BEFORE the kernel — a row
-    # with no valid embedding belongs in no LSH bucket.
+    # with no valid embedding belongs in no LSH bucket. ADVICE r11: a
+    # correct-length array with null ELEMENTS also counts as dirty — it
+    # would become NaN in the numpy kernel and fan into bucket 0 of
+    # every table instead of hashing nowhere (no wrong pairs — NaN
+    # cosine fails the threshold — but bucket-0 tiles pay for it).
     fanned = embeddings.select(id_col, vec_col).where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(vec_col, lambda x: x.isNull())
     ).mapInPandas(_fan, fan_schema)
     pairs = near_dup_pairs_vectorized(
         fanned, threshold, id_col, vec_col,

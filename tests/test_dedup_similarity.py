@@ -1048,8 +1048,12 @@ class TestMultiTableLsh:
         # ADVICE r10: a null or ragged-length embedding must be dropped
         # (the pre-r10 zip_with form degraded it to null margins — the
         # row hashed nowhere), not np.stack-crash the task.
+        # ADVICE r11: a correct-LENGTH vector with null ELEMENTS is
+        # dirty too — it would pass a null/size-only filter, turn NaN
+        # in the numpy kernel, and fan into bucket 0 of every table.
         clean = [(i, [1.0, 0.0, 1.0, 0.0]) for i in range(6)]
-        dirty = [(100, None), (101, [1.0]), (102, [1.0] * 9)]
+        dirty = [(100, None), (101, [1.0]), (102, [1.0] * 9),
+                 (103, [1.0, None, 1.0, 0.0])]
         emb = spark.createDataFrame(
             clean + dirty, "vec_id long, embedding array<float>")
         pairs = S.near_dup_pairs_multitable(

@@ -57,6 +57,44 @@ class TestDedupPartitionsKnob:
         assert all("REPARTITION_BY_NUM" in ln and ", 4)" in ln
                    for ln in shuffles), shuffles
 
+    def test_auto_sizing(self, spark, tmp_path):
+        """r11 verdict #3: the knob sizes itself from a decompress-only
+        counting pre-pass. Archive-shaped inputs (per-file pages under
+        the threshold) keep the default partial-then-final plan (None);
+        fat files engage the exchange, sized ceil(total x links/page /
+        target) and floored at the session's default parallelism."""
+        p = tmp_path / "auto-00000.warc.wat.gz"
+        write_wat_file(str(p))
+        # the fixture is tiny — far below the 300k pages/task threshold
+        assert extract.auto_dedup_partitions(spark, str(p)) is None
+        # force engagement: a tiny total still floors at parallelism
+        n = extract.auto_dedup_partitions(
+            spark, str(p), pages_per_task_threshold=0)
+        assert n == spark.sparkContext.defaultParallelism
+        # the sizing formula rules once totals dominate the floor:
+        # ceil(pages x EST_LINKS_PER_PAGE / TARGET) reduce tasks
+        assert extract.EST_LINKS_PER_PAGE == 12
+        assert extract.AUTO_DEDUP_TARGET_ROWS_PER_TASK == 2_000_000
+        assert extract.AUTO_DEDUP_PAGES_PER_TASK == 300_000
+
+    def test_run_import_auto_matches_default_plan(self, spark, tmp_path):
+        """run_import's default dedup_partitions='auto' must produce
+        byte-identical rows to the pinned default plan (the pre-pass
+        only picks a plan; it never changes results)."""
+        from globallinks_spark import runner
+
+        p = tmp_path / "imp-00000.warc.wat.gz"
+        write_wat_file(str(p))
+        runner.run_import(spark, [str(p)], str(tmp_path / "auto"), "s1")
+        runner.run_import(spark, [str(p)], str(tmp_path / "pinned"), "s1",
+                          dedup_partitions=4)
+        a = spark.read.parquet(
+            str(tmp_path / "auto" / "links" / "segment=s1"))
+        b = spark.read.parquet(
+            str(tmp_path / "pinned" / "links" / "segment=s1"))
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect()))
+
 
 class TestGoldenExtraction:
     def test_row_count(self, links):
