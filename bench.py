@@ -102,7 +102,7 @@ def _fresh_jvm_extract_once(
     return None
 
 
-# Pinned reference probe time for host-speed calibration: the 8-core
+# Pinned FRESH-JVM probe time for host-speed calibration: the 8-core
 # string-cast+xxhash64 probe (bench_extract.host_calibration) measured
 # 2.203 s on the round-6 judged host (Intel Xeon @ 2.10GHz, the host
 # whose best-of-4 fresh-JVM run recorded 387,877 pages/min/core,
@@ -110,34 +110,310 @@ def _fresh_jvm_extract_once(
 # calibrated value = raw × (run_probe_sec / this pin), which maps each
 # run onto the pinned host's speed — a co-tenancy slow window inflates
 # both the extract time and the probe time, so the ratio cancels the
-# window to first order.
+# window to first order. r12 recheck: fresh-JVM quiet reads 2.15-2.3
+# on the current host (PIN_PROVENANCE) — the pin holds for its
+# fresh-JVM uses (extract-run calibration + fresh-run staleness).
 PINNED_8CORE_STRHASH_SEC = 2.203
+
+# The SAME strhash kernel read ~1.25x FASTER in a warm long-lived JVM
+# (C2 tier-up across repeated builds of the probe plan): r12 quiet
+# warm trials 1.64-1.77 s (median 1.71) while fresh-JVM trials read
+# 2.15-2.3 s, and the r11 driver session independently recorded warm
+# host_at_start 1.56 s / warm per-entry floor 1.66 s against fresh-run
+# probes of 2.27-2.43 s. The per-entry adjudication probes run WARM
+# (after the query catalog), so dividing them by the fresh pin
+# systematically under-detected cpu windows by ~25% (a warm window had
+# to reach 1.67x true warm quiet before stamping). Warm contexts
+# (_light_host_probe, host_at_start) divide by this pin instead.
+PINNED_8CORE_STRHASH_WARM_SEC = 1.71
 EXTRACT_RUNS = 5
 
 # Pinned quiet figure for the I/O-shaped probe (bench_extract.
-# parquet_io_probe: 8M-row/~278 MB parquet scan+write, min-of-2) —
-# median of ten quiet trials on the round-11 host spanning fresh and
-# warm JVMs (1.77-2.77 s, spread ≤1.23x of this pin). The CPU strhash
-# probe is measured blind to I/O/scheduler windows (Pearson r 0.18 vs
-# extract noise in r8; quiet during 4 of 5 r10 stamped slowdowns), so
-# adjudication now consults both probes.
-PINNED_IO_PROBE_SEC = 2.25
+# parquet_io_probe: 8M-row/~278 MB parquet scan+write, min-of-3 since
+# r12 — was min-of-2). Re-pinned in r12 (r11 verdict #1/#5): the old
+# 2.25 s pin came from r11 "quiet" trials spanning 1.77-2.77 s, but a
+# fresh quiet-distribution recheck (PIN_PROVENANCE: 8 warm min-of-3
+# trials 1.434-1.614 s + fresh-JVM 1.42 s, spread 1.14x) shows true
+# quiet at ~1.5 s — the old pin baked a mild window into the
+# denominator, so a real 2.2x io window read "quiet" (3.1 s / 2.25 =
+# 1.38x < 1.5x band). The probe has no fresh/warm JVM split (it is
+# parquet-IO-bound, not codegen-bound). The CPU strhash probe is
+# measured blind to I/O/scheduler windows (Pearson r 0.18 vs extract
+# noise in r8; quiet during 4 of 5 r10 stamped slowdowns), so
+# adjudication consults both probes.
+PINNED_IO_PROBE_SEC = 1.51
 # The io probe's host-window band is wider than the 1.3x regression
-# wire because its quiet spread is wider (disk/page-cache state moves
-# min-of-2 up to ~1.25x on an idle host, vs <1.1x for strhash). 1.5
-# sits above every quiet trial and below any sustained I/O window that
-# could move a min-of-2 entry timing.
+# wire because its quiet spread is wider than strhash's (<1.1x). r11
+# verdict #5 asked the band be justified by a recorded quiet
+# distribution or a deeper sample — r12 does both: the probe is now
+# min-of-3 (was min-of-2) and the recorded quiet min-of-3 distribution
+# (PIN_PROVENANCE io_probe: 11 trials, 1.31-1.614 s, every one within
+# 0.87-1.07x of the 1.51 pin) sits entirely under 1.07x of the pin, so
+# 1.5x is clear air above every quiet trial and below any sustained
+# I/O window that could move a min-of-2/3 entry timing. (The re-pin from
+# 2.25 to 1.51 is what actually closed the blind band — see
+# PINNED_IO_PROBE_SEC.)
 IO_PROBE_WINDOW_RATIO = 1.5
+
+# ----- pin lifecycle (r11 verdict #1) ---------------------------------
+# Every host-window stamp divides a probe reading by one of the two
+# pins above; a silently migrated/changed host would miscalibrate every
+# verdict in either direction. The pins therefore carry (a) provenance
+# — where each constant came from, with the trial distribution behind
+# it — and (b) a per-session stale-pin self-check: the session's
+# MINIMUM reading per probe class (the quietest moment the session saw)
+# must sit inside PIN_STALE_BAND of the pin, else the whole artifact is
+# stamped "pins stale — recalibrate" and every probe-ratio verdict is
+# annotated, instead of emitting per-entry verdicts from a wrong
+# denominator. The MIN is the right statistic: a co-tenancy window
+# inflates readings upward of a correct pin (that is what the per-entry
+# stamps detect), but a quiet minimum far from the pin means the HOST
+# changed, not the load. Pinned by
+# tests/test_bench_contract.py::test_pin_lifecycle.
+PIN_STALE_BAND = (0.7, 1.3)
+
+_R12_HOST = "Intel(R) Xeon(R) Processor @ 2.10GHz, 32 vCPU"
+
+PIN_PROVENANCE: dict[str, dict] = {
+    "strhash_8core_fresh": {
+        "pinned_sec": PINNED_8CORE_STRHASH_SEC,
+        "used_by": "fresh-JVM extract-run calibration (diagnostic) and "
+                   "the fresh-run staleness check",
+        "calibrated": (
+            "round 6 (2026-07): bench_extract.host_calibration min-of-3 "
+            "on the round-6 judged driver host (Intel Xeon @ 2.10GHz, "
+            "32 vCPU) — the host whose best fresh-JVM extract run "
+            "recorded 387,877 pages/min/core (BENCH_DETAIL r6)"
+        ),
+        "recheck": {
+            "round": 12, "date": "2026-08-16", "host": _R12_HOST,
+            "fresh_jvm_trials_sec": [2.147, 2.157, 2.256],
+            "r11_driver_run_fresh_probes_sec":
+                [2.434, 2.324, 2.337, 2.386, 2.272],
+            "verdict": "pin holds for fresh-JVM contexts "
+                       "(quiet fresh 2.15-2.3 s across r11/r12)",
+        },
+    },
+    "strhash_8core_warm": {
+        "pinned_sec": PINNED_8CORE_STRHASH_WARM_SEC,
+        "used_by": "per-entry adjudication probes (_light_host_probe) "
+                   "and host_at_start — both run in the warm bench JVM",
+        "calibrated": (
+            "round 12 (2026-08-16): median of 6 consecutive quiet "
+            "warm-JVM trials on the r12 host; split from the fresh pin "
+            "because the same kernel runs ~1.25x faster once C2 has "
+            "tiered the probe plan up (r11 corroboration: warm "
+            "host_at_start 1.56 s / warm per-entry floor 1.66 s in the "
+            "same session whose fresh-JVM probes read 2.27-2.43 s)"
+        ),
+        "trials_sec": [1.725, 1.704, 1.72, 1.771, 1.662, 1.64],
+        "host": _R12_HOST,
+    },
+    "io_probe": {
+        "pinned_sec": PINNED_IO_PROBE_SEC,
+        "used_by": "per-entry io adjudication probes and the io "
+                   "staleness check (no fresh/warm split — IO-bound)",
+        "calibrated": (
+            "round 12 (2026-08-16): median of 11 quiet min-of-3 trials "
+            "(8 warm-JVM + 3 fresh-JVM) on the r12 host — 1.31-1.614 s, "
+            "every trial within 0.87-1.07x of the pin; REPLACES the r11 "
+            "pin of 2.25 s whose 'quiet' trial set (1.77-2.77 s) "
+            "evidently contained a mild sustained window — against true "
+            "quiet of ~1.5 s, the old pin let a real 2.2x io window "
+            "read as in-band"
+        ),
+        "trials_sec": [1.574, 1.558, 1.506, 1.614, 1.514, 1.434,
+                       1.562, 1.511, 1.42, 1.31, 1.341],
+        "host": _R12_HOST,
+        "superseded_pins": [{"pinned_sec": 2.25, "rounds": "r10-r11"}],
+    },
+}
+
+
+def _pin_staleness(
+    probe: str, pinned_sec: float, readings: list[float | None],
+    band: tuple[float, float] = PIN_STALE_BAND,
+) -> dict | None:
+    """One probe class's stale-pin self-check: compare the session's
+    MINIMUM captured reading against the pin. Returns None when the
+    session captured no reading of this class (nothing to check);
+    otherwise a record with the verdict — "pin current" inside the
+    band, "pins stale — recalibrate" outside it. Pinned by
+    tests/test_bench_contract.py::test_pin_lifecycle."""
+    vals = [v for v in readings if v]
+    if not vals:
+        return None
+    lo = min(vals)
+    ratio = lo / pinned_sec
+    stale = not (band[0] <= ratio <= band[1])
+    return {
+        "probe": probe,
+        "pinned_sec": pinned_sec,
+        "session_min_sec": round(lo, 3),
+        "n_readings": len(vals),
+        "ratio_to_pin": round(ratio, 3),
+        "band": list(band),
+        "verdict": (
+            "pins stale — recalibrate: the session's QUIETEST reading "
+            f"sits {ratio:.2f}x the pin (outside {band[0]}-{band[1]}); "
+            "per-entry probe-ratio verdicts divide by a wrong "
+            "denominator on this host"
+            if stale else "pin current"
+        ),
+    }
+
+
+def _apply_pin_staleness(
+    adjudication: dict[str, str], checks: list[dict],
+) -> dict[str, str]:
+    """When any probe class's pin failed the self-check, annotate every
+    stamp that divides by a pin (host-window and unexplained — both are
+    probe-ratio verdicts; expected/transient/confirmed are not) so a
+    reader never trusts a ratio computed against a stale denominator."""
+    stale = [c for c in checks if c and "stale" in c["verdict"]]
+    if not stale:
+        return adjudication
+    which = ", ".join(
+        f"{c['probe']} (session min {c['session_min_sec']}s vs pinned "
+        f"{c['pinned_sec']}s)" for c in stale
+    )
+    return {
+        name: (
+            f"{v}; NOTE: PINS STALE this session — {which}; recalibrate "
+            f"before trusting probe-ratio verdicts"
+            if v.startswith(("host-window", "unexplained")) else v
+        )
+        for name, v in adjudication.items()
+    }
 
 # r10 verdict #3: the extract gate median must survive in-sample host
 # windows (the r10 sample held a 77,328 run 3.4x below its neighbors on
 # identical code, moving the gate median 1.15x -> 1.30x of baseline
 # with no code change). Documented outlier rule, same spirit as the
 # calibration cap: drop any run more than OUTLIER_DROP_FACTOR below the
-# sample max (a half-speed-or-worse run of identical code in the same
-# session is a window, not a plan cost), then take the median of what
-# remains. The unfiltered median stays recorded next to it.
+# sample MEDIAN (a half-speed-or-worse run of identical code in the
+# same session is a window, not a plan cost), then take the median of
+# what remains. ADVICE r11 (medium): the anchor was the sample MAX,
+# which is one-sided and fragile — one anomalously fast run (>2x the
+# other four) would drop every other run and collapse the gate median
+# to itself, inflating the very figure the filter protects; the median
+# anchor cannot be moved by a single spike in either direction. The
+# filter also REFUSES when fewer than MIN_KEPT_RUNS would survive
+# (falls back to the unfiltered median, noted in the artifact). The
+# unfiltered median stays recorded next to the filtered one either way.
 OUTLIER_DROP_FACTOR = 2.0
+MIN_KEPT_RUNS = 3
+
+
+# ----- confirmed-stamp ledger (r11 verdict #2) ------------------------
+# A "confirmed — investigate" stamp used to evaporate at session end
+# (r11's three window-run confirmations were resolved in README prose).
+# The ledger is machine state: open confirmations persist in
+# BENCH_LEDGER.json and the NEXT bench run settles each one — the entry
+# back inside the regression band closes it ("cleared in rN"), still
+# outside escalates it ("regression, N rounds"). New confirmed stamps
+# from the current session are appended as open.
+LEDGER_PATH = os.path.join(_HERE, "BENCH_LEDGER.json")
+
+
+def _this_round() -> int:
+    """The driver round this bench run will be recorded as: one past
+    the highest BENCH_r{N}.json on disk (filename only — even an
+    unparseable artifact marks its round as taken)."""
+    import glob
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_HERE, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(rounds) + 1 if rounds else 1
+
+
+def _load_ledger() -> dict:
+    try:
+        with open(LEDGER_PATH, encoding="utf-8") as fh:
+            data = json.load(fh)
+        if isinstance(data, dict):
+            return data
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+    return {"open": [], "closed": []}
+
+
+def _settle_ledger(
+    ledger: dict,
+    this_round: int,
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    adjudication: dict[str, str],
+) -> dict:
+    """Settle every open confirmation against this session's timings,
+    then append this session's fresh "confirmed" stamps as open items.
+
+    - entry timed and back inside the regression band (<= ratio wire or
+      <= absolute floor vs baseline) → moved to closed, "cleared in rN"
+    - entry timed and still outside → stays open, escalated with the
+      open-round count ("regression, N rounds")
+    - entry not in this run's registry/baseline → carried untouched
+
+    The baseline here is the same min-of-last-N-rounds figure the wire
+    uses, so "cleared" means exactly "would not trip the wire today".
+    Pinned by tests/test_bench_contract.py::test_confirmed_ledger."""
+    open_items: list[dict] = []
+    closed = list(ledger.get("closed", []))
+    for item in ledger.get("open", []):
+        entry = item.get("entry")
+        sec = timings.get(entry)
+        base = baseline.get(entry)
+        if sec is None or base is None:
+            open_items.append(dict(
+                item, status=f"carried — not timed/baselined in r{this_round}"
+            ))
+            continue
+        if (sec <= REGRESSION_PROBE_RATIO * base
+                or sec - base <= REGRESSION_MIN_DELTA_SEC):
+            closed.append(dict(
+                item,
+                status=f"cleared in r{this_round}",
+                cleared_sec=sec,
+                cleared_baseline_sec=base,
+            ))
+        else:
+            rounds_open = this_round - int(item.get("round", this_round)) + 1
+            open_items.append(dict(
+                item,
+                status=(
+                    f"regression, {rounds_open} rounds (r{this_round}: "
+                    f"{sec:.3f}s vs baseline {base:.3f}s)"
+                ),
+            ))
+    carried = {i.get("entry") for i in open_items}
+    for entry, verdict in adjudication.items():
+        if verdict.startswith("confirmed") and entry not in carried:
+            open_items.append({
+                "entry": entry,
+                "round": this_round,
+                "first_sec": timings.get(entry),
+                "baseline_sec": baseline.get(entry),
+                "stamp": verdict,
+                "status": "open",
+            })
+    return {
+        "policy": (
+            "open items are 'confirmed — investigate' stamps carried "
+            "across rounds; each bench run re-checks every open entry "
+            "against its current min-of-last-"
+            f"{N_BASELINE_ROUNDS}-rounds baseline and the "
+            f"{REGRESSION_PROBE_RATIO}x/"
+            f"{REGRESSION_MIN_DELTA_SEC}s wire: back in band -> closed "
+            "('cleared in rN'), still out -> escalated "
+            "('regression, N rounds')"
+        ),
+        "settled_round": this_round,
+        "open": open_items,
+        "closed": closed,
+    }
 
 
 def _pearson(xs: list[float], ys: list[float]) -> float | None:
@@ -206,25 +482,36 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     best["runs_8core_strhash_sec"] = probes
     best["runs_extract_sec"] = [r.get("extract_sec") for r in results]
     best["runs_calibrated_pages_per_min_per_core"] = calibrated
-    # THE GATE FIGURE (r8 verdict #3a, outlier rule r10 verdict #3):
-    # median of the raw runs AFTER dropping any run more than
-    # OUTLIER_DROP_FACTOR below the sample max — identical code in the
-    # same session running at under half its own best is a host window
-    # (the r10 sample held a 77,328 run 3.4x below its neighbors), not
-    # a plan cost. The rule is symmetric in spirit with the calibration
-    # cap: it removes window artifacts, it can never push the median
-    # above any rate actually measured. The unfiltered median stays
-    # recorded beside it.
+    # THE GATE FIGURE (r8 verdict #3a, outlier rule r10 verdict #3,
+    # median anchor ADVICE r11): median of the raw runs AFTER dropping
+    # any run more than OUTLIER_DROP_FACTOR below the sample MEDIAN —
+    # identical code in the same session running at under half the
+    # sample's typical rate is a host window (the r10 sample held a
+    # 77,328 run 3.4x below its neighbors), not a plan cost. Anchoring
+    # on the median (not the max) means one anomalously fast run can
+    # never drop the rest of the sample and crown itself the gate; and
+    # when fewer than MIN_KEPT_RUNS would survive, the filter refuses
+    # and the unfiltered median rules. The rule still can never push
+    # the median above any rate actually measured, and the unfiltered
+    # median stays recorded beside it.
     raws = [r["value"] for r in results]
-    kept = [v for v in raws if v * OUTLIER_DROP_FACTOR >= max(raws)]
-    dropped = [v for v in raws if v * OUTLIER_DROP_FACTOR < max(raws)]
+    anchor = statistics.median(raws)
+    kept = [v for v in raws if v * OUTLIER_DROP_FACTOR >= anchor]
+    dropped = [v for v in raws if v * OUTLIER_DROP_FACTOR < anchor]
+    refused = len(kept) < MIN_KEPT_RUNS
+    if refused:
+        kept, dropped = raws, []
     best["value_raw_median"] = round(statistics.median(kept))
     best["value_raw_median_unfiltered"] = round(statistics.median(raws))
     best["runs_dropped_as_outliers"] = sorted(dropped)
     best["outlier_rule"] = (
-        f"runs more than {OUTLIER_DROP_FACTOR}x below the sample max "
+        f"runs more than {OUTLIER_DROP_FACTOR}x below the sample MEDIAN "
         f"are dropped before the gate median (in-sample host windows; "
-        f"r10 verdict #3); dropped {len(dropped)} of {len(raws)}"
+        f"r10 verdict #3, median anchor ADVICE r11); dropped "
+        f"{len(dropped)} of {len(raws)}"
+        + ("; filter REFUSED — fewer than "
+           f"{MIN_KEPT_RUNS} runs would survive, unfiltered median used"
+           if refused else "")
     )
     best["gate_policy"] = (
         "the 2x gate reads value_raw_median (outlier-filtered median "
@@ -295,14 +582,17 @@ def _fallback_extract(extract_in_bench: dict) -> dict:
     extract = dict(extract_in_bench)
     probe = extract.get("host", {}).get("jvm_8core_160M_strhash_sec")
     if probe:
+        # the in-bench probe runs in the WARM long-lived JVM → warm pin
+        # (r12: dividing a warm reading by the fresh pin deflated the
+        # calibrated figure ~25%)
         extract["value_calibrated_fallback"] = round(
-            extract["value"] * probe / PINNED_8CORE_STRHASH_SEC
+            extract["value"] * probe / PINNED_8CORE_STRHASH_WARM_SEC
         )
-        extract["pinned_probe_sec"] = PINNED_8CORE_STRHASH_SEC
+        extract["pinned_probe_sec"] = PINNED_8CORE_STRHASH_WARM_SEC
         extract["calibration"] = (
-            f"IN-BENCH FALLBACK single run × (probe / pinned "
-            f"{PINNED_8CORE_STRHASH_SEC} s) — NOT a fresh-JVM median; "
-            f"see value_calibrated_fallback"
+            f"IN-BENCH FALLBACK single run × (warm probe / pinned warm "
+            f"{PINNED_8CORE_STRHASH_WARM_SEC} s) — NOT a fresh-JVM "
+            f"median; see value_calibrated_fallback"
         )
     extract["fallback_in_bench"] = True
     return extract
@@ -421,9 +711,9 @@ def _adjudicate(
     - "expected — ..."     the entry's composition changed this round
     - "host-window ..."    an in-run probe also ran slow — the CPU
                            strhash probe above REGRESSION_PROBE_RATIO ×
-                           its pinned 2.203 s, OR (r10 verdict #2) the
-                           parquet scan+write probe above
-                           IO_PROBE_WINDOW_RATIO × its pinned 1.79 s;
+                           PINNED_8CORE_STRHASH_SEC, OR (r10 verdict
+                           #2) the parquet scan+write probe above
+                           IO_PROBE_WINDOW_RATIO × PINNED_IO_PROBE_SEC;
                            the CPU probe alone is measured blind to the
                            I/O/scheduler windows that caused 4 of 5 r10
                            stamps
@@ -440,13 +730,16 @@ def _adjudicate(
         return f"expected — composition changed: {changed_note}"
     if probe_sec is None and io_probe_sec is None:
         return "unexplained — regressed but no host probe captured; investigate"
-    ratio = (probe_sec / PINNED_8CORE_STRHASH_SEC
+    # per-entry probes run in the WARM bench JVM → warm pin (r12: the
+    # fresh pin under-detected warm cpu windows by ~25%, see
+    # PINNED_8CORE_STRHASH_WARM_SEC)
+    ratio = (probe_sec / PINNED_8CORE_STRHASH_WARM_SEC
              if probe_sec is not None else None)
     io_ratio = (io_probe_sec / PINNED_IO_PROBE_SEC
                 if io_probe_sec is not None else None)
     if ratio is not None and ratio > REGRESSION_PROBE_RATIO:
-        return (f"host-window (cpu probe {ratio:.2f}x pinned "
-                f"{PINNED_8CORE_STRHASH_SEC} s)")
+        return (f"host-window (cpu probe {ratio:.2f}x pinned warm "
+                f"{PINNED_8CORE_STRHASH_WARM_SEC} s)")
     if io_ratio is not None and io_ratio > IO_PROBE_WINDOW_RATIO:
         return (f"host-window (io probe {io_ratio:.2f}x pinned "
                 f"{PINNED_IO_PROBE_SEC} s; cpu probe "
@@ -622,12 +915,13 @@ def main() -> None:
     # times land in BENCH_DETAIL.json's `runs_sec` and the max/min ratio
     # in `spread`, so cross-round comparisons can see the noise floor.
     def _light_host_probe() -> float:
-        """One 8-core strhash pass (~2 s on the pinned host) — the
-        per-entry co-tenancy stamp (r7 verdict #6): any entry whose
-        best-of-N exceeds 3 s gets its own host-window evidence next to
-        its samples, so a cross-round delta on that entry is readable
-        without forensics. Codegen is warm after host_at_start, so this
-        times the host, not the compiler."""
+        """One 8-core strhash pass (~1.7 s quiet in this warm JVM —
+        PINNED_8CORE_STRHASH_WARM_SEC) — the per-entry co-tenancy stamp
+        (r7 verdict #6): any entry whose best-of-N exceeds 3 s gets its
+        own host-window evidence next to its samples, so a cross-round
+        delta on that entry is readable without forensics. Codegen is
+        warm after host_at_start, so this times the host, not the
+        compiler — which is also why it divides by the WARM pin."""
         t0 = time.perf_counter()
         spark.range(160_000_000, numPartitions=8).selectExpr(
             "bit_xor(xxhash64(cast(id as string))) as s"
@@ -668,13 +962,43 @@ def main() -> None:
         # magnitude, so cross-round deltas are self-diagnosing at every
         # size (r8 verdict #1b; drift baseline per r9 verdict #4)
         reason = _probe_reason(timings[name], baseline.get(name))
+        verdict = None
         if reason is not None:
             probe_trigger[name] = reason
+            changed = _active_changed_note(name, baseline_rounds)
             try:
                 host_probe[name] = _light_host_probe()
             except Exception as exc:
                 print(f"# host probe for {name} failed: {exc}",
                       file=sys.stderr)
+            # r10 verdict #1: a probe-quiet regression gets ONE same-
+            # session re-run. ADVICE r11 (bench.py:684): the re-run is
+            # captured BEFORE the io probe — the probe's ~278 MB parquet
+            # scan+write churns the page cache and disk queue exactly
+            # where the rerun is about to read, biasing IO-sensitive
+            # entries toward "confirmed" (the opposite of the rerun's
+            # purpose). The cpu strhash probe above touches no disk, so
+            # a provisional cpu-only adjudication decides whether the
+            # rerun is needed; the io probe still feeds the FINAL
+            # verdict below. Stamp-only: the recorded timing keeps the
+            # original samples (see _rerun_adjudicate).
+            provisional = _adjudicate(
+                timings[name], baseline.get(name),
+                host_probe.get(name), None, changed,
+            )
+            if provisional is not None \
+                    and provisional.startswith("unexplained") \
+                    and baseline.get(name):
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    _materialize(spec.fn(spark, sf_dir))
+                    rerun = time.perf_counter() - t0
+                    spark.catalog.clearCache()
+                    adjudication_rerun[name] = round(rerun, 3)
+                except Exception as exc:
+                    print(f"# adjudication rerun for {name} failed: {exc}",
+                          file=sys.stderr)
             # r10 verdict #2: the I/O-shaped probe rides beside the CPU
             # one — the strhash probe is measured blind to the
             # I/O/scheduler windows that caused 4 of 5 r10 stamps
@@ -685,31 +1009,16 @@ def main() -> None:
             except Exception as exc:
                 print(f"# io probe for {name} failed: {exc}",
                       file=sys.stderr)
-        # r9 verdict #3: the host-window verdict is now stamped in the
-        # artifact instead of living in a human dividing two numbers
-        verdict = _adjudicate(timings[name], baseline.get(name),
-                              host_probe.get(name), io_probe.get(name),
-                              _active_changed_note(name, baseline_rounds))
-        if verdict is not None and verdict.startswith("unexplained") \
-                and baseline.get(name):
-            # r10 verdict #1: a probe-quiet regression gets ONE same-
-            # session re-run — all four r10 unexplained stamps were
-            # ≤2.2 s entries shown (manually, BENCH_R10_WINDOWS.json)
-            # to flip-flop on identical plans; the re-run replaces that
-            # side investigation. Stamp-only: the recorded timing keeps
-            # the original samples (see _rerun_adjudicate).
-            try:
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                _materialize(spec.fn(spark, sf_dir))
-                rerun = time.perf_counter() - t0
-                spark.catalog.clearCache()
-                adjudication_rerun[name] = round(rerun, 3)
+            # r9 verdict #3: the host-window verdict is stamped in the
+            # artifact instead of living in a human dividing two numbers
+            verdict = _adjudicate(timings[name], baseline.get(name),
+                                  host_probe.get(name), io_probe.get(name),
+                                  changed)
+            if verdict is not None and verdict.startswith("unexplained") \
+                    and name in adjudication_rerun:
                 verdict = _rerun_adjudicate(
-                    timings[name], baseline[name], rerun)
-            except Exception as exc:
-                print(f"# adjudication rerun for {name} failed: {exc}",
-                      file=sys.stderr)
+                    timings[name], baseline[name],
+                    adjudication_rerun[name])
         if verdict is not None:
             adjudication[name] = verdict
         rows[name] = spec.fn(spark, sf_dir).count()
@@ -778,6 +1087,45 @@ def main() -> None:
                     spark.catalog.clearCache()
                 members[suite][m] = round(best, 3)
 
+    # ----- pin lifecycle self-check (r11 verdict #1): the session's
+    # QUIETEST reading per probe class vs its pin — a quiet minimum
+    # outside the band means the HOST changed (migration, hardware),
+    # and every probe-ratio verdict this session divided by a wrong
+    # denominator. Readings pool every capture: the query-loop start
+    # stamp, each per-entry probe, and the fresh-JVM extract runs.
+    warm_cpu: list[float | None] = list(host_probe.values())
+    fresh_cpu: list[float | None] = []
+    io_readings: list[float | None] = list(io_probe.values())
+    if host_at_start:
+        warm_cpu.append(host_at_start.get("jvm_8core_160M_strhash_sec"))
+        io_readings.append(host_at_start.get("parquet_io_probe_sec"))
+    if extract is not None and not extract.get("fallback_in_bench"):
+        fresh_cpu.extend(extract.get("runs_8core_strhash_sec") or [])
+        io_readings.extend(extract.get("runs_io_probe_sec") or [])
+    pin_checks = [
+        c for c in (
+            _pin_staleness("strhash_8core_warm",
+                           PINNED_8CORE_STRHASH_WARM_SEC, warm_cpu),
+            _pin_staleness("strhash_8core_fresh",
+                           PINNED_8CORE_STRHASH_SEC, fresh_cpu),
+            _pin_staleness("io_probe", PINNED_IO_PROBE_SEC, io_readings),
+        ) if c is not None
+    ]
+    adjudication_final = _apply_pin_staleness(
+        _contextualize_confirmed(adjudication), pin_checks,
+    )
+
+    # ----- confirmed-stamp ledger (r11 verdict #2): settle prior
+    # rounds' open confirmations against this session, append new ones
+    this_round = _this_round()
+    ledger = _settle_ledger(_load_ledger(), this_round, timings,
+                            baseline, adjudication_final)
+    try:
+        with open(LEDGER_PATH, "w", encoding="utf-8") as fh:
+            json.dump(ledger, fh, indent=1)
+    except OSError as exc:
+        print(f"# ledger write failed: {exc}", file=sys.stderr)
+
     detail = {
         "sf": sf,
         "sf_dir": sf_dir,
@@ -795,23 +1143,29 @@ def main() -> None:
             n: baseline[n] for n in probe_trigger if n in baseline
         },
         "baseline_rounds": baseline_rounds,
-        "adjudication": _contextualize_confirmed(adjudication),
+        "adjudication": adjudication_final,
         "adjudication_rerun_sec": adjudication_rerun,
+        "pin_provenance": PIN_PROVENANCE,
+        "pin_staleness": pin_checks,
+        "confirmed_ledger": ledger,
         "host_probe_policy": "one 8-core strhash pass PLUS one parquet "
-                             "scan+write io probe (min-of-2, pinned "
+                             "scan+write io probe (min-of-3, pinned "
                              f"{PINNED_IO_PROBE_SEC} s / window band "
                              f"{IO_PROBE_WINDOW_RATIO}x) after any entry "
                              "whose best-of-N exceeds 3 s OR exceeds "
                              f"{REGRESSION_PROBE_RATIO}x its min-of-last-"
                              f"{N_BASELINE_ROUNDS}-rounds driver baseline "
-                             "(strhash compared to extract's pinned "
-                             "2.203 s); every regressed entry carries an "
-                             "'adjudication' stamp: expected (composition "
-                             "changed) / host-window (a probe also slow) "
-                             "/ transient (probes quiet but a same-"
-                             "session rerun landed back in band) / "
-                             "confirmed (rerun still out of band — "
-                             "investigate)",
+                             "(warm strhash compared to pinned warm "
+                             f"{PINNED_8CORE_STRHASH_WARM_SEC} s — see "
+                             "pin_provenance); every regressed entry "
+                             "carries an 'adjudication' stamp: expected "
+                             "(composition changed) / host-window (a "
+                             "probe also slow) / transient (probes quiet "
+                             "but a same-session rerun — captured BEFORE "
+                             "the io probe's cache churn, ADVICE r11 — "
+                             "landed back in band) / confirmed (rerun "
+                             "still out of band — opens a ledger item, "
+                             "see confirmed_ledger)",
         "warmup": f"each query once at {warm_dir} (codegen steady-state)",
         "timing": "min of 2 isolated runs, escalated to min of 3 when "
                   "best-of-2 > 3 s (cache cleared between); per-run "

@@ -68,14 +68,66 @@ def test_extract_policy_fixed_runs_and_calibrated_median(monkeypatch):
     assert got["calibration_capped"] is False
     # r8 verdict #3a: THE GATE FIGURE is the raw median — calibration
     # is a diagnostic (its probe measured r=0.18 against extract noise).
-    # r10 verdict #3: the gate median is outlier-filtered first — 100k
-    # and 75k sit more than 2x below the 300k sample max (in-sample
-    # host windows), so the gate reads median([300k, 150k, 200k]).
-    assert got["value_raw_median"] == 200_000
+    # r10 verdict #3 + ADVICE r11: the outlier filter anchors on the
+    # sample MEDIAN (150k here) — nothing in this sample sits more than
+    # 2x below it (75k * 2 == 150k is the boundary, kept), so the gate
+    # reads the plain median. (Under the old max anchor, 100k and 75k
+    # would have been dropped and the gate inflated to 200k.)
+    assert got["value_raw_median"] == 150_000
     assert got["value_raw_median_unfiltered"] == 150_000
-    assert got["runs_dropped_as_outliers"] == [75_000, 100_000]
+    assert got["runs_dropped_as_outliers"] == []
     assert "value_raw_median" in got["gate_policy"]
     assert "outlier" in got["gate_policy"]
+
+
+def _mock_runs(monkeypatch, values):
+    """Feed _fresh_jvm_extract a fixed raw-rate sample (None = a failed
+    launch) with flat probes."""
+    import bench
+
+    runs = iter([
+        None if v is None else
+        {"value": v, "extract_sec": 1.0,
+         "host": {"jvm_8core_160M_strhash_sec":
+                  bench.PINNED_8CORE_STRHASH_SEC}}
+        for v in values
+    ])
+    monkeypatch.setattr(bench, "_fresh_jvm_extract_once",
+                        lambda n, c: next(runs))
+
+
+def test_outlier_filter_median_anchor(monkeypatch):
+    """ADVICE r11 (medium): the drop rule anchors on the sample MEDIAN.
+    A single anomalously fast run (the max-anchor failure mode) must
+    not drop every other run and crown itself the gate median; the r10
+    host-window shape (one run 3.4x below its neighbors) must still be
+    dropped; and when fewer than MIN_KEPT_RUNS would survive, the
+    filter refuses and the unfiltered median rules."""
+    import bench
+
+    # ADVICE's adversarial sample: one run 2x faster than the other
+    # four. Max anchor would drop ALL the 100k runs (gate -> 201k);
+    # median anchor drops nothing.
+    _mock_runs(monkeypatch, [100_000, 100_000, 100_000, 100_000, 201_000])
+    got = bench._fresh_jvm_extract(n_pages=1000, cores=8)
+    assert got["runs_dropped_as_outliers"] == []
+    assert got["value_raw_median"] == 100_000
+
+    # the r10 window shape: one run far below its neighbors is dropped
+    _mock_runs(monkeypatch, [260_000, 265_000, 270_000, 77_000, 250_000])
+    got = bench._fresh_jvm_extract(n_pages=1000, cores=8)
+    assert got["runs_dropped_as_outliers"] == [77_000]
+    assert got["value_raw_median"] == 262_500
+    assert got["value_raw_median_unfiltered"] == 260_000
+
+    # refusal: only two launches succeeded and the filter would leave
+    # one run — fall back to the unfiltered median, say so
+    _mock_runs(monkeypatch, [320_000, None, None, None, 100_000])
+    got = bench._fresh_jvm_extract(n_pages=1000, cores=8)
+    assert bench.MIN_KEPT_RUNS == 3
+    assert got["runs_dropped_as_outliers"] == []
+    assert got["value_raw_median"] == 210_000
+    assert "REFUSED" in got["outlier_rule"]
 
 
 def test_calibrated_median_capped_at_best_raw(monkeypatch):
@@ -149,12 +201,15 @@ def test_fallback_extract_keeps_calibrated_field_and_flag():
 
     in_bench = {
         "value": 200_000,
+        # r12: the in-bench probe runs in the WARM long-lived JVM, so
+        # the fallback calibration divides by the WARM pin
         "host": {"jvm_8core_160M_strhash_sec":
-                 2 * bench.PINNED_8CORE_STRHASH_SEC},
+                 2 * bench.PINNED_8CORE_STRHASH_WARM_SEC},
     }
     got = bench._fallback_extract(in_bench)
     assert got["fallback_in_bench"] is True
     assert got["value_calibrated_fallback"] == 400_000
+    assert got["pinned_probe_sec"] == bench.PINNED_8CORE_STRHASH_WARM_SEC
     assert "value_calibrated_median" not in got
     assert "value" not in in_bench or "fallback_in_bench" not in in_bench
 
@@ -217,7 +272,10 @@ def test_adjudication_policy():
     was quiet or missing while the entry regressed)."""
     import bench
 
-    pin = bench.PINNED_8CORE_STRHASH_SEC
+    # r12: per-entry probes run in the WARM bench JVM, so _adjudicate
+    # divides by the WARM strhash pin (the fresh pin under-detected
+    # warm cpu windows by ~25% — see PINNED_8CORE_STRHASH_WARM_SEC)
+    pin = bench.PINNED_8CORE_STRHASH_WARM_SEC
     io_pin = bench.PINNED_IO_PROBE_SEC
     # inside the noise band, or no baseline → nothing to adjudicate
     assert bench._adjudicate(1.2, 1.0, None) is None
@@ -225,7 +283,7 @@ def test_adjudication_policy():
     # regressed + slow cpu probe → host-window, ratio in the stamp
     got = bench._adjudicate(1.6, 1.0, 1.7 * pin)
     assert got is not None and got.startswith("host-window")
-    assert "1.70x" in got
+    assert "1.70x" in got and "warm" in got
     # r10 verdict #2: quiet cpu probe but slow IO probe → host-window
     # too — the strhash probe is blind to I/O/scheduler windows (4 of 5
     # r10 stamps). The io band is IO_PROBE_WINDOW_RATIO (1.5, wider
@@ -324,6 +382,126 @@ def test_rerun_adjudication_policy():
     got = bench._rerun_adjudicate(1.6, 1.0, 1.55)
     assert got.startswith("confirmed")
     assert "1.55x" in got
+
+
+def test_pin_lifecycle():
+    """r11 verdict #1: the probe pins carry provenance (trial
+    distribution, date, host) and a per-session stale-pin self-check —
+    the session's QUIETEST reading per probe class must sit inside
+    PIN_STALE_BAND of its pin, else the artifact is stamped
+    'recalibrate' and every probe-ratio verdict annotated instead of
+    being emitted from a wrong denominator."""
+    import bench
+
+    # every pin constant is covered by a provenance record whose
+    # pinned_sec matches it, with a recorded trial distribution for the
+    # r12-calibrated pins
+    prov = bench.PIN_PROVENANCE
+    assert prov["strhash_8core_fresh"]["pinned_sec"] == \
+        bench.PINNED_8CORE_STRHASH_SEC
+    assert prov["strhash_8core_warm"]["pinned_sec"] == \
+        bench.PINNED_8CORE_STRHASH_WARM_SEC
+    assert prov["io_probe"]["pinned_sec"] == bench.PINNED_IO_PROBE_SEC
+    assert len(prov["strhash_8core_warm"]["trials_sec"]) >= 5
+    assert len(prov["io_probe"]["trials_sec"]) >= 9
+    # the warm pin is the median of its recorded trials (lifecycle:
+    # the constant is derivable from its own provenance)
+    import statistics
+
+    assert bench.PINNED_8CORE_STRHASH_WARM_SEC == round(
+        statistics.median(prov["strhash_8core_warm"]["trials_sec"]), 2)
+    assert bench.PINNED_IO_PROBE_SEC == round(
+        statistics.median(prov["io_probe"]["trials_sec"]), 2)
+
+    # quiet minimum inside the band → pin current (even when OTHER
+    # readings are slow — windows are the per-entry stamps' job)
+    assert bench.PIN_STALE_BAND == (0.7, 1.3)
+    c = bench._pin_staleness("io_probe", 1.5, [1.6, 4.0, None])
+    assert c["verdict"] == "pin current"
+    assert c["session_min_sec"] == 1.6 and c["n_readings"] == 2
+    # quiet minimum far BELOW the pin → the host changed → stale
+    # (exactly the r11→r12 io case: quiet 1.42 vs pinned 2.25)
+    s = bench._pin_staleness("io_probe", 2.25, [1.42, 1.6])
+    assert "stale" in s["verdict"] and "recalibrate" in s["verdict"]
+    # far above → stale too
+    assert "stale" in bench._pin_staleness("x", 1.0, [1.5])["verdict"]
+    # no readings captured → nothing to check
+    assert bench._pin_staleness("x", 1.5, [None]) is None
+    assert bench._pin_staleness("x", 1.5, []) is None
+
+    # annotation reaches exactly the probe-ratio stamps
+    adj = {
+        "a": "host-window (cpu probe 1.40x pinned warm 1.71 s)",
+        "b": "transient — rerun 1.0s within band (first sample 1.5s)",
+        "c": "unexplained — probes quiet (cpu 1.05x of pinned) while "
+             "entry ran 1.4x baseline; investigate",
+        "d": "expected — composition changed: note",
+    }
+    out = bench._apply_pin_staleness(adj, [s])
+    assert "PINS STALE" in out["a"] and "PINS STALE" in out["c"]
+    assert out["b"] == adj["b"] and out["d"] == adj["d"]
+    # all pins current → stamps untouched
+    assert bench._apply_pin_staleness(adj, [c]) == adj
+    assert bench._apply_pin_staleness(adj, []) == adj
+
+
+def test_confirmed_ledger():
+    """r11 verdict #2: 'confirmed — investigate' stamps persist in
+    BENCH_LEDGER.json and the NEXT bench run settles them — back inside
+    the regression band closes the item ('cleared in rN'), still
+    outside escalates it ('regression, N rounds'); fresh confirmed
+    stamps open new items. The repo ledger must carry r11's three
+    window-run confirmations (ann_ivf / counters / streaming_dedup)
+    until a bench run settles them."""
+    import json
+    import os
+
+    import bench
+
+    # this bench run records as one past the highest BENCH_r{N}.json
+    assert bench._this_round() >= 12
+
+    ledger = {"open": [
+        {"entry": "ann_ivf", "round": 11, "first_sec": 3.161,
+         "status": "open"},
+        {"entry": "renamed_away", "round": 11, "first_sec": 1.0,
+         "status": "open"},
+        {"entry": "still_bad", "round": 10, "first_sec": 2.0,
+         "status": "open"},
+    ], "closed": [{"entry": "old", "status": "cleared in r9"}]}
+    timings = {"ann_ivf": 1.459, "still_bad": 2.1, "fresh_confirm": 0.9}
+    baseline = {"ann_ivf": 1.421, "still_bad": 1.0, "fresh_confirm": 0.6}
+    adjudication = {
+        "fresh_confirm": "confirmed — rerun 0.9s still 1.5x baseline; "
+                         "investigate",
+        "other": "host-window (cpu probe 1.4x pinned warm 1.71 s)",
+    }
+    out = bench._settle_ledger(ledger, 12, timings, baseline, adjudication)
+    closed = {i["entry"]: i for i in out["closed"]}
+    opened = {i["entry"]: i for i in out["open"]}
+    # back in band → closed with the figures that cleared it
+    assert closed["ann_ivf"]["status"] == "cleared in r12"
+    assert closed["ann_ivf"]["cleared_sec"] == 1.459
+    # prior closed items are preserved
+    assert closed["old"]["status"] == "cleared in r9"
+    # not in this run's registry/baseline → carried, never dropped
+    assert "carried" in opened["renamed_away"]["status"]
+    # still outside the band → escalated with the open-round count
+    assert opened["still_bad"]["status"].startswith("regression, 3 rounds")
+    # fresh confirmed stamp → new open item at this round
+    assert opened["fresh_confirm"]["round"] == 12
+    assert opened["fresh_confirm"]["status"] == "open"
+    # non-confirmed stamps never enter the ledger
+    assert "other" not in opened and "other" not in closed
+
+    # the committed repo ledger seeds r11's three open confirmations
+    # (or their settled descendants once a bench run has run)
+    with open(bench.LEDGER_PATH, encoding="utf-8") as fh:
+        repo_ledger = json.load(fh)
+    entries = {i["entry"] for i in
+               repo_ledger.get("open", []) + repo_ledger.get("closed", [])}
+    assert {"ann_ivf", "counters", "streaming_dedup"} <= entries
+    assert os.path.basename(bench.LEDGER_PATH) == "BENCH_LEDGER.json"
 
 
 def test_baseline_timings_takes_min_over_recent_rounds():
