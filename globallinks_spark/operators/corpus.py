@@ -633,28 +633,45 @@ def bm25_topk(
     df > N/2): (doc_id, score). Ties break on doc_id ascending; scores
     round to 6 so both engines rank identical values identically.
 
-    Plan: one token scan filtered to the query terms (the term list is
-    a literal — tiny by construction, so the filter is a map-side
-    ``isin``), a per-(doc, term) count, a per-term df aggregate joined
-    back by broadcast, and corpus scalars (N, avgdl) via a broadcast
-    1-row crossJoin. No shuffle touches non-matching tokens; the global
-    top-k is a TakeOrdered, not a sort.
+    Plan: ONE tokenize pass persisted as a narrow (doc_id, dl,
+    matching-terms) frame (the term list is a literal — tiny by
+    construction, so the per-doc term filter is a map-side array
+    ``filter``), a per-(doc, term) count carrying dl in its group key,
+    a per-term df aggregate joined back by broadcast, and corpus
+    scalars (N, avgdl) via a broadcast 1-row crossJoin. No shuffle
+    touches non-matching tokens, the corpus is tokenized exactly once,
+    and the global top-k is a TakeOrdered, not a sort.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
-    words = _spread(docs).select(
-        "doc_id", TX.words(F.col("text")).alias("w")
+    # tokenize ONCE: the round-11 shape derived lens and tok from two
+    # separate materializations of the words() scan, re-tokenizing the
+    # whole corpus (guide §1.2 step 1 — don't compute things twice).
+    # One narrow persisted frame (doc_id, dl, matching terms only —
+    # the per-doc term filter runs map-side before anything is stored)
+    # feeds the length join, the corpus scalars and the tf counts; the
+    # doc length rides the tf groupBy key (functionally dependent on
+    # doc_id), so the lens re-join disappears too.
+    base = (
+        _spread(docs)
+        .select("doc_id", TX.words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.size("w").alias("dl"),
+            F.filter("w", lambda t: t.isin(terms)).alias("ft"),
+        )
+        .persist()
     )
-    lens = words.select("doc_id", F.size("w").alias("dl"))
-    scalars = lens.agg(
+    scalars = base.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tok = words.select(
-        "doc_id", F.explode("w").alias("term")
-    ).filter(F.col("term").isin(terms))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        base.select("doc_id", "dl", F.explode("ft").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -662,7 +679,6 @@ def bm25_topk(
     )
     contrib = (
         tf.join(F.broadcast(df), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",

