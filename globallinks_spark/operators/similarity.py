@@ -358,11 +358,13 @@ def build_ivf_index(
 
     Per Lloyd iteration: ONE job. A mapInPandas pass assigns cells and
     emits per-batch partial sums (cell, count, sum-vector) — the
-    map-side combine — then applyInPandas reduces the ≤ partitions ×
-    n_cells partials per cell and only n_cells rows collect. At 100 TB
-    that is one narrow scan plus a shuffle of n_cells × n_partitions
-    tiny rows per iteration; the final assignment is returned lazily
-    (no extra job).
+    map-side combine — then a JVM hash aggregation over the
+    posexploded (cell, dim) partials reduces them (r12: the former
+    applyInPandas reduce paid a second JVM↔Python round trip per
+    iteration for a ≤ partitions × n_cells row reduction) and only
+    n_cells × dim tiny rows collect. At 100 TB that is one narrow scan
+    plus a shuffle of n_cells × dim × n_partitions tiny rows per
+    iteration; the final assignment is returned lazily (no extra job).
 
     Returns (centroids, assigned) where assigned = embeddings + ``cell``.
     """
@@ -375,7 +377,11 @@ def build_ivf_index(
     # assignment is built over the UNCACHED frame (one fresh scan, which
     # the caller pays exactly once on materialization).
     source = embeddings
-    cached = embeddings.persist()
+    # cache ONLY the two columns the seed + Lloyd passes read — the
+    # Arrow boundary then ships id+vector, never payload columns
+    # (guide §4.1: pass only what the function needs); the returned
+    # assignment is still built over the full-column `source`
+    cached = embeddings.select(id_col, vec_col).persist()
 
     # seed: evenly-strided sample by id order (deterministic)
     seeds = cached.orderBy(id_col).limit(n_cells * 7).collect()
@@ -415,24 +421,28 @@ def build_ivf_index(
                     "sums": list(sums[live]),
                 })
 
-        def reduce_cell(pdf):
-            import pandas as pd
-
-            return pd.DataFrame({
-                "cell": [int(pdf["cell"].iloc[0])],
-                "cnt": [int(pdf["cnt"].sum())],
-                "sums": [np.sum(np.stack(pdf["sums"].to_numpy()), axis=0)],
-            })
-
+        # reduce the per-batch partials in the JVM: posexplode the sum
+        # vectors and hash-aggregate by (cell, dim) — r11 sent them
+        # back through a SECOND Python stage (groupBy.applyInPandas),
+        # paying an extra JVM↔Python round trip per Lloyd iteration for
+        # a ≤ partitions × n_cells row reduction (guide §4: eliminate
+        # Python stages that built-ins cover). n_cells × dim rows
+        # collect — parameters, not data. The JVM double-sum's order is
+        # shuffle-dependent where np.sum's was batch-ordered; both sit
+        # at the ~1e-15 level the oracle's argmin-gap tolerance already
+        # absorbs cross-engine (see q_ann_ivf's module note).
         rows = (
-            cached.mapInPandas(partials, partial_schema)
-            .groupBy("cell")
-            .applyInPandas(reduce_cell, partial_schema)
+            cached.select(vec_col).mapInPandas(partials, partial_schema)
+            .select("cell", "cnt", F.posexplode("sums").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
             .collect()
         )
         centroids = centroids.copy()
         for r in rows:  # empty cells keep their previous centroid
-            centroids[r["cell"]] = np.asarray(r["sums"]) / r["cnt"]
+            # each partial row contributes its cnt exactly once per
+            # (cell, pos) group, so c IS the cell's total count
+            centroids[r["cell"]][r["pos"]] = r["s"] / r["c"]
 
     # every action that needed the cache has run; blocking so the
     # storage is provably gone when we return (the leak test pins this)

@@ -73,29 +73,48 @@ def purchase_attribution(
     preceding ``window_sec`` seconds — (purchase_id, user_id, n_clicks,
     click_value). Purchases with no prior click are kept with zeros.
 
-    Batch composition over :func:`purchase_click_pairs` (see module doc
-    for why the rollup is not part of the streaming surface). The
+    Batch rollup (see module doc for why it is not part of the
+    streaming surface — the pair STREAM stays
+    :func:`purchase_click_pairs`, unchanged). r12: the rollup is one
+    LEFT interval join + one aggregation — the r11 form ran the inner
+    pair join, aggregated, and then re-joined a THIRD scan of events
+    (the purchase side again) to restore zero-click purchases; the
+    left join keeps them in the first place, dropping a scan and a
+    join (x1.35 interleaved at sf0.1, rows identical). count("c_ts")
+    counts matches only, and the all-null sum coalesces to 0.00 — the
+    exact zero-fill semantics of the removed re-join. The
     DECIMAL(18,2) cast before the sum keeps the aggregate
     order-insensitive across engines.
     """
-    pairs = purchase_click_pairs(events, window_sec)
-    rollup = pairs.groupBy("purchase_id").agg(
-        F.count("*").cast("bigint").alias("n_clicks"),
-        F.sum(F.col("c_value").cast("decimal(18,2)")).alias("cv"),
-    )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id"
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
     )
-    return purchases.join(rollup, "purchase_id", "left").select(
-        "purchase_id",
-        "user_id",
-        F.coalesce("n_clicks", F.lit(0).cast("bigint")).alias("n_clicks"),
-        F.round(
-            F.coalesce(
-                F.col("cv"), F.lit(0).cast("decimal(18,2)")
-            ).cast("double"),
-            2,
-        ).alias("click_value"),
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    cond = (
+        (purchases["user_id"] == clicks["c_user"])
+        & (clicks["c_ts"] >= purchases["p_ts"] - F.expr(
+            f"interval {window_sec} seconds"))
+        & (clicks["c_ts"] < purchases["p_ts"])
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("c_ts").cast("bigint").alias("n_clicks"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("c_value").cast("decimal(18,2)")),
+                    F.lit(0).cast("decimal(18,2)"),
+                ).cast("double"),
+                2,
+            ).alias("click_value"),
+        )
     )
 
 
