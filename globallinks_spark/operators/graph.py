@@ -116,6 +116,16 @@ def triangle_count(
         .persist()
     )
     und.count()
+    return _triangles_over_normalized(und)
+
+
+def _triangles_over_normalized(und: DataFrame) -> DataFrame:
+    """Triangle enumeration over an already-normalized (a < b, distinct,
+    materialized) edge frame — the shared core of
+    :func:`triangle_count` and :func:`clustering_coefficient`, split
+    out in r12 so the coefficient path stops paying a SECOND
+    normalize+distinct exchange (plus its persist and count action)
+    over a frame that is already in exactly this form."""
     tri = (
         und.alias("e1")
         .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
@@ -167,7 +177,7 @@ def clustering_coefficient(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
-    tri = triangle_count(und, "a", "b")
+    tri = _triangles_over_normalized(und)
     d = F.col("degree")
     return (
         deg.join(tri, "node", "left")

@@ -77,10 +77,17 @@ def prior_event_stats(
     window are kept with zeros (left join back on the event key).
 
     This is the self-range-join instance of
-    :func:`bucketed_interval_join`; strictly-earlier timestamps only,
-    so an event never counts itself and ties at identical timestamps
-    don't pair (deterministic regardless of physical row order).
+    :func:`bucketed_interval_join` bucketization, run as a LEFT outer
+    join so empty-window events survive the pair join itself —
+    ``count(r_ts)`` over the null-padded rows yields their zeros
+    directly. The former inner-join form needed a THIRD scan of
+    ``events`` plus an event_id-keyed shuffle to re-attach zero rows;
+    r12 drops both (two scans, one aggregation exchange). Strictly-
+    earlier timestamps only, so an event never counts itself and ties
+    at identical timestamps don't pair (deterministic regardless of
+    physical row order).
     """
+    bucket_sec = lookback_sec
     l = events.select(
         F.col("event_id").alias("event_id"),
         F.col("ts").alias("l_ts"),
@@ -89,21 +96,30 @@ def prior_event_stats(
         F.col("ts").alias("r_ts"),
         F.col("value").alias("r_value"),
     )
-    pairs = bucketed_interval_join(
-        l, r, "l_ts", "r_ts", lookback_sec
+    lsec = F.unix_timestamp(F.col("l_ts"))
+    rsec = F.unix_timestamp(F.col("r_ts"))
+    n_buckets = -(-lookback_sec // bucket_sec) + 1
+    bbase = F.floor(lsec / bucket_sec)
+    l_exploded = l.withColumn(
+        "_bucket", F.explode(F.array(*[bbase - i for i in range(n_buckets)]))
     )
-    stats = pairs.groupBy("event_id").agg(
-        F.count("*").alias("n_prior"),
-        F.round(
-            F.sum(F.col("r_value").cast("decimal(18,2)")).cast("double"), 2
+    r_bucketed = r.withColumn("_bucket", F.floor(rsec / bucket_sec))
+    exact = (
+        F.col("r_ts")
+        > F.col("l_ts") - F.expr(f"INTERVAL {lookback_sec} SECOND")
+    ) & (F.col("r_ts") < F.col("l_ts"))
+    joined = l_exploded.join(
+        r_bucketed,
+        (l_exploded["_bucket"] == r_bucketed["_bucket"]) & exact,
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("r_ts").alias("n_prior"),
+        F.coalesce(
+            F.round(
+                F.sum(F.col("r_value").cast("decimal(18,2)")).cast("double"),
+                2,
+            ),
+            F.lit(0.0),
         ).alias("prior_value"),
-    )
-    return (
-        events.select("event_id")
-        .join(stats, "event_id", "left")
-        .select(
-            "event_id",
-            F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
-            F.coalesce("prior_value", F.lit(0.0)).alias("prior_value"),
-        )
     )
