@@ -352,38 +352,61 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     # words staged through a named column + _spread parallelism
     # (see contamination_pairs.grams)
     words = _spread(docs).select("doc_id", TX.words(F.col("text")).alias("w"))
-    per_doc = (
+    # r12 one-pass shape: zip the word array with its own 1-shifted
+    # slice (zip_with null-pads the shorter side) so each position i
+    # emits (w_i, w_{i+1}-or-null) — the null-w2 row at the last
+    # position is exactly the unigram occurrence the bigram stream
+    # misses. ONE explode + ONE partial-aggregating shuffle on
+    # (doc_id, w1, w2) then yields EVERY downstream table: per-doc
+    # bigram counts (w2 non-null rows), corpus bigram counts (sum over
+    # docs), and full corpus unigram counts (sum of k over ALL rows
+    # groups by w1 — every position contributes its w1 once). The
+    # pre-r12 form tokenized and exploded the corpus three times (the
+    # unpersisted per_doc lineage ran once for the score join and once
+    # for the corpus bigram counts, plus the separate unigram pass);
+    # guide §1.2/§2.3. Counts are exact integers either way — results
+    # identical. The (w1, w2) pair replaces the space-joined bigram
+    # string as the join key (words are whitespace-split, so the
+    # mapping is bijective); persist is the count-table
+    # materialization, distinct-gram-sized, far below the stream.
+    shift1 = F.slice(
+        F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))
+    )
+    pdc = (
         words.select(
             "doc_id",
-            F.explode(TX.shingles_seq(F.col("w"), 2)).alias("bigram"),
+            F.explode(
+                F.zip_with(
+                    F.col("w"), shift1,
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
         )
-        .groupBy("doc_id", "bigram")
+        .groupBy(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
         .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
     )
+    pdc.count()  # materialization barrier — see exact_jaccard
+    per_doc = pdc.filter(F.col("w2").isNotNull())
 
-    uni = (
-        words.select(F.explode(F.col("w")).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    )
+    uni = pdc.groupBy("w1").agg(F.sum("k").alias("c1"))
     vocab = uni.agg(F.count("*").alias("v"))
-    bic = per_doc.groupBy("bigram").agg(F.sum("k").alias("c2"))
+    bic = per_doc.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
 
     bigram_nll = (
-        bic.withColumn(
-            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
-        )
-        .join(uni, "w1")
+        bic.join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "bigram",
+            "w1", "w2",
             (-F.log(
                 (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
             )).alias("nll"),
         )
     )
     scored = (
-        per_doc.join(bigram_nll, "bigram")
+        per_doc.join(bigram_nll, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.round(

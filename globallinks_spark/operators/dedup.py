@@ -309,6 +309,14 @@ def ngram_jaccard_pairs(
         "doc_id", "n",
         F.posexplode(F.slice("oh", F.lit(1), prefix_len)).alias("pos", "p"),
     ).select("doc_id", "n", "pos", F.col("p.h").alias("h"))
+    # persist + count barrier: the prefix index feeds BOTH legs of the
+    # self-join below, and broadcast planning on the legs prevents the
+    # ReusedExchange rescue — unpersisted, the whole explode → df-join →
+    # collect_list → posexplode pipeline ran twice (r12 plan audit; in a
+    # warehouse deployment this frame IS the materialized prefix index
+    # PPJoin implementations store)
+    prefixes = prefixes.persist()
+    prefixes.count()
     pa = prefixes.alias("pa")
     pb = prefixes.alias("pb")
     t = F.lit(float(threshold))
@@ -352,37 +360,40 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — per-token H30 bit votes weighted by term
     frequency; bit i of the result is the sign of the vote sum.
 
-    Token frequencies and votes are computed by exploding tokens
-    (one shuffle on (doc, token)), then ``bits`` bit-positions unpivot —
-    a constant 16× fan-out on the *distinct-token* frame, not the corpus.
+    tf-weighting commutes with per-instance voting
+    (Σ_distinct-tokens tf·sign = Σ_token-instances sign, exact integer
+    arithmetic), so the r12 form skips the (doc, token) tf
+    pre-aggregation AND the ``bits``-way bit-position unpivot entirely:
+    one token explode feeds ONE ``groupBy(doc_id)`` carrying ``bits``
+    partial-aggregating ``sum`` columns (±1 per instance per bit), and
+    the fingerprint assembles from those sums as a flat expression.
+    Plan: 3 exchanges → 1, and the shuffled rows collapse from the
+    (doc, distinct-token) frame ×(bits+1) to docs × ``bits`` ints with
+    map-side partial aggregation (the pre-r12 form's first shuffle
+    alone carried every distinct (doc, token) pair). Results are
+    bit-identical — same votes, same signs (guide §2.3/§2.4).
     """
     from globallinks_spark.functions.hashing import h30
 
     toks = (
         _spread(docs)
         .select("doc_id", F.explode(TX.words(F.col("text"))).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", h30(F.col("w")))
+        .select("doc_id", h30(F.col("w")).alias("h"))
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        toks.select("doc_id", "tf", "h", bit)
-        .withColumn(
-            "vote",
-            # the PySpark shiftright/shiftleft wrappers only take literal
-            # bit counts; the SQL functions accept column expressions
-            F.when(
-                F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")
-            ).otherwise(-F.col("tf")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
-        ).cast("bigint").alias("simhash")
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(
+        "doc_id", fingerprint.cast("bigint").alias("simhash")
     )
 
 
@@ -486,7 +497,12 @@ def simhash_near_dup_pairs(
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    sh = simhash(docs, bits)
+    # persist + count barrier: the banded frame feeds BOTH legs of the
+    # self-join — unpersisted, the whole simhash computation (scan +
+    # tokenize + hash + vote aggregation) ran twice, once per leg
+    # (r12; the triangle_count lesson)
+    sh = simhash(docs, bits).persist()
+    sh.count()
     segs = _segments(bits, k + 1)
     bands = F.array(*[
         F.struct(
