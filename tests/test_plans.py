@@ -161,7 +161,11 @@ class TestWordsStagedOnce:
         "name,branches",
         [
             ("dup_span_profile", 1),
-            ("bigram_lm_score", 6),     # bi ×(score, bic-count, w1-join), uni…
+            # r12: one-pass (doc_id, w1, w2) count table — the corpus
+            # tokenizes ONCE into the persisted pdc (its cached-plan
+            # text holds the only split copy; +1 slack for the
+            # InMemoryRelation's duplicated output header)
+            ("bigram_lm_score", 2),
             ("contamination_check", 3),  # train overlap + train sizes + bench
             ("span_dedup_rewrite", 2),   # gram stream + token-array join
             ("bm25_search", 1),          # r12: ONE persisted tokenize pass
@@ -305,6 +309,68 @@ class TestRound4PlanShapes:
             f"{plan.count('filter(')} filter() copies for "
             f"{n_word_langs} word-scored languages"
         )
+
+
+class TestR12OptimizationShapes:
+    """Plan pins for the r12 optimization round's operator rewrites —
+    each asserts the structural property the A/B measurement paid for,
+    so a regression is caught by shape before it costs anything."""
+
+    def test_simhash_single_explode_single_agg(self, spark_noaqe):
+        """r12 simhash: tf-weighting commutes with per-instance voting,
+        so the (doc, token) tf pre-aggregation and the bits-way
+        bit-position unpivot are gone — the plan must contain exactly
+        ONE Generate (the token explode; a second would be the bit
+        unpivot returning) and at most 2 Exchanges (_spread round-robin
+        + the single doc_id aggregation; the pre-r12 form had 4)."""
+        import re
+
+        spark_noaqe.catalog.clearCache()
+        df = FULL_REGISTRY["simhash_fingerprint"].fn(spark_noaqe, SF)
+        plan = plan_string(df)
+        # formatted plans list each node in the tree AND the details
+        # section — count the "(n) Generate" detail headers only
+        n_gen = len(re.findall(r"\(\d+\) Generate", plan))
+        assert n_gen == 1, f"{n_gen} Generates — bit unpivot is back?"
+        assert count_shuffles(df) <= 2, (
+            f"{count_shuffles(df)} Exchanges (budget 2: spread + agg)"
+        )
+
+    def test_range_join_two_scans_left_join(self, spark_noaqe):
+        """r12 prior_event_stats: the LEFT bucketized interval join
+        keeps empty-window events alive through the pair join, so the
+        third events scan (the zero-row re-attach) must stay gone —
+        exactly 2 parquet scans — and the join itself must be the LEFT
+        outer form."""
+        import re
+
+        spark_noaqe.catalog.clearCache()
+        df = FULL_REGISTRY["range_join"].fn(spark_noaqe, SF)
+        plan = plan_string(df)
+        # detail headers only — the tree section repeats each node
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans == 2, f"{n_scans} events scans (budget 2)"
+        assert "LeftOuter" in plan, "LEFT interval join lost"
+        assert count_shuffles(df) <= 3, (
+            f"{count_shuffles(df)} Exchanges (budget 3: 2 join legs + agg)"
+        )
+
+    def test_simhash_near_dup_reads_fingerprints_from_cache(self, spark):
+        """r12: the banded self-join's legs must read the persisted
+        fingerprint frame, not recompute the simhash lineage per leg.
+        (AQE session: the persist is registered at fn() time, so both
+        legs plan as InMemoryTableScan and no leg re-derives words.)"""
+        spark.catalog.clearCache()
+        df = FULL_REGISTRY["simhash_near_dup"].fn(spark, SF)
+        plan = plan_string(df)
+        assert plan.count("InMemoryTableScan") >= 2, "legs not cached"
+        # outside the cached-plan text there must be NO tokenization —
+        # the only split(lower( copies live inside the single cached
+        # simhash plan (printed once per InMemoryTableScan occurrence)
+        assert plan.count("split(lower(") <= plan.count(
+            "InMemoryTableScan"
+        ), "a join leg re-derives the fingerprint lineage"
+        spark.catalog.clearCache()
 
 
 class TestAudit:
