@@ -11,6 +11,8 @@ Conventions shared with the oracles:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -198,27 +200,49 @@ def lang_score(
     return F.size(F.filter(words_col, lambda w: w.isin(*markers)))
 
 
-def lang_scores_folded(words_col: Column) -> Column:
-    """ALL word-language marker scores in ONE bound expression: a
-    ``transform`` over the literal array-of-marker-arrays (one entry
-    per non-CHAR_LANGS language, in LANG_MARKERS order) that counts
-    each language's marker hits in the token array. Semantically
-    identical to per-language :func:`lang_score` — a word may belong
-    to several languages' marker sets ("de" is a marker for both es
-    and nl), which is why the fold keeps one count per language
-    instead of a first-match one-hot. One expression tree instead of
-    n_langs independent filter trees keeps the projection small and
-    the codegen a single nested loop."""
-    word_langs = [l for l in LANG_MARKERS if l not in CHAR_LANGS]
-    markers = F.array(*[
-        F.array(*[F.lit(m) for m in LANG_MARKERS[l]]) for l in word_langs
-    ])
-    return F.transform(
-        markers,
-        lambda ms: F.size(
-            F.filter(words_col, lambda x: F.array_contains(ms, x))
-        ),
+def lang_token_string(text: Column) -> Column:
+    """The document's lowercased token stream rendered as ONE
+    space-delimited string with a leading and trailing space:
+    ``' tok1 tok2 ... tokN '``. This is exactly :func:`words`'s
+    tokenization written back out — both run Java's ASCII ``\\s``
+    class, and collapsing every whitespace RUN to a single space puts
+    a literal ``' '`` at precisely the token boundaries (runs at the
+    ends leave extra spaces, which sit outside every token and match
+    nothing). Tokens contain no whitespace by construction, so "token
+    equals marker" ≡ "marker bounded by spaces in this string"."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), r"\s+", " "),
+        F.lit(" "),
     )
+
+
+def lang_score_tokens(ts_col: Column, lang: str) -> Column:
+    """Marker-word occurrence count for a space-written ``lang`` over a
+    :func:`lang_token_string` — ONE compiled-regex pass
+    (``regexp_count`` with zero-width lookarounds, so consecutive
+    marker tokens both match) per language. Replaces the r11
+    ``lang_scores_folded`` transform/filter/array_contains fold, whose
+    lambdas Catalyst evaluates INTERPRETED per array element (the same
+    higher-order-function cost the r10 multitable-LSH fan kernel
+    removed): measured ×1.10–1.21 interleaved at sf0.1, rows
+    identical. Markers are whole lowercase tokens with no whitespace
+    or regex metacharacters (asserted below); longest-first
+    alternation avoids prefix-alternative backtracking ("an" before
+    "and" would match, fail the lookahead, and retry)."""
+    markers = LANG_MARKERS[lang]
+    assert not any(
+        _RE_META.search(m) for m in markers
+    ), f"lang {lang!r} markers need regex escaping"
+    pat = (
+        "(?<= )(?:"
+        + "|".join(sorted(markers, key=len, reverse=True))
+        + ")(?= )"
+    )
+    return F.regexp_count(ts_col, F.lit(pat))
+
+
+_RE_META = re.compile(r"[\\^$.|?*+()\[\]{}\s]")
 
 
 def lang_score_sql(words_expr: str, lang: str, text_expr: str = "text") -> str:

@@ -741,36 +741,37 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from globallinks_spark.functions.binding import bind_once
 
     d = load(spark, sf_dir, "documents")
-    # bind the token array AND the scores: predict_lang's argmax CASE
+    # bind the token string AND the scores: predict_lang's argmax CASE
     # chain references every score ~2·(n_langs-1) times, and without
     # the barrier CollapseProject inlines the score tree into each
-    # reference (~160 array scans/row at 10 languages — measured 3×
+    # reference (~160 evaluations/row at 10 languages — measured 3×
     # the r02 wall time when the catalog grew from 3 to 10 languages).
-    # The 9 word-language scores fold into ONE bound array expression
-    # (a transform over the literal marker-array-of-arrays,
-    # functions/text.py lang_scores_folded) — one nested loop over the
-    # bound token array instead of 9 independent filter trees; the
-    # char-language (zh) score stays a separate bound regexp count on
-    # the raw text. The argmax chain then compares plain attributes.
+    # r12: the 9 word-language scores are compiled-regex token counts
+    # over ONE bound space-delimited token string
+    # (functions/text.py lang_token_string / lang_score_tokens) —
+    # whole-stage-codegen'd regexp passes instead of the r11 HOF fold,
+    # whose transform/filter/array_contains lambdas Catalyst evaluates
+    # INTERPRETED per array element (measured ×1.10–1.21 interleaved
+    # at sf0.1, rows identical; the same HOF-interpretation cost the
+    # r10 multitable-LSH fan kernel removed). The char-language (zh)
+    # score stays a bound regexp count on the raw text. The argmax
+    # chain then compares plain attributes. Zero exchanges either way:
+    # one scan, all scoring map-side.
     base = d.select(
         "doc_id", "lang", "text",
-        bind_once(TX.words(F.col("text"))).alias("w"),
+        bind_once(TX.lang_token_string(F.col("text"))).alias("ts"),
     )
     word_langs = [
         lang for lang in TX.LANG_MARKERS if lang not in TX.CHAR_LANGS
     ]
     scored = base.select(
         "doc_id", "lang",
-        bind_once(TX.lang_scores_folded(F.col("w"))).alias("sv"),
         *[bind_once(
-            TX.lang_score(F.col("w"), lang, text=F.col("text"))
+            TX.lang_score_tokens(F.col("ts"), lang)
+        ).alias(f"s_{lang}") for lang in word_langs],
+        *[bind_once(
+            TX.lang_score(F.lit(None), lang, text=F.col("text"))
         ).alias(f"s_{lang}") for lang in TX.CHAR_LANGS],
-    )
-    scored = scored.select(
-        "doc_id", "lang",
-        *[F.element_at(F.col("sv"), i + 1).alias(f"s_{lang}")
-          for i, lang in enumerate(word_langs)],
-        *[f"s_{lang}" for lang in TX.CHAR_LANGS],
     )
     bound = {lang: F.col(f"s_{lang}") for lang in TX.LANG_MARKERS}
     out = scored.select(

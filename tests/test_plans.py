@@ -293,21 +293,32 @@ class TestRound4PlanShapes:
 
     def test_lang_id_scores_bound_once(self, spark_noaqe):
         """Each per-language score must appear ONCE as a bound attribute
-        — the argmax CASE chain otherwise inlines the array-filter tree
-        ~2·(n_langs-1) times per language (measured ~160 array scans per
-        row at 10 languages)."""
+        — the argmax CASE chain otherwise inlines the score tree
+        ~2·(n_langs-1) times per language (measured ~160 evaluations per
+        row at 10 languages). r12: the word-language scores are
+        compiled-regex token counts (one regexp_count per language over
+        one bound token string), so the plan must carry NO interpreted
+        higher-order filter() lambdas at all — the property the
+        ×1.10–1.21 interleaved A/B paid for."""
         from globallinks_spark.functions import text as TX
         from globallinks_spark.queries import FULL_REGISTRY
 
         df = FULL_REGISTRY["lang_id"].fn(spark_noaqe, SF)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        # each space-written language contributes exactly one
-        # filter(...) evaluation (zh scores by regexp on raw text), plus
-        # one for the empty-token filter inside the bound words() array
         n_word_langs = len(TX.LANG_MARKERS) - len(TX.CHAR_LANGS)
-        assert plan.count("filter(") <= n_word_langs + 1, (
-            f"{plan.count('filter(')} filter() copies for "
-            f"{n_word_langs} word-scored languages"
+        # one bound regex token count per space-written language (zh
+        # scores by regexp_replace char count on raw text), each
+        # appearing exactly once: bound attributes, not inlined copies.
+        # Spark 4 canonicalizes regexp_count(x, p) to
+        # size(regexp_extract_all(x, p, 0)) in the optimized plan.
+        n_regex = plan.count("regexp_count(") + plan.count(
+            "regexp_extract_all(")
+        assert n_regex == n_word_langs, (
+            f"{n_regex} regex token-count copies for "
+            f"{n_word_langs} word-scored languages:\n{plan}"
+        )
+        assert plan.count("filter(") == 0, (
+            f"interpreted HOF filter() back in the lang_id plan:\n{plan}"
         )
 
 
