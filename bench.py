@@ -31,6 +31,20 @@ overflowed the driver's tail capture and left the round without a
 parseable artifact, so the stdout line now carries only what the
 driver records.
 
+**Contract-first ordering (r13, from r12 verdict #1):** the headline
+JSON prints IMMEDIATELY after the query loop, BEFORE any diagnostics
+(row counts, extract gate, sidecar) — both r12 driver runs timed out
+(rc 124) inside the diagnostics with all 50 queries finished, and the
+round lost its ground truth because the line used to print last. A
+completed run re-prints the identical line enriched with the extract
+fields as the FINAL stdout line; a run killed mid-diagnostics still
+carries the early print. Every diagnostic is wall-budgeted
+(EXTRACT_SUBPROC_TIMEOUT_SEC / EXTRACT_SECTION_BUDGET_SEC /
+ADJUDICATION_BUDGET_SEC+ADJUDICATION_MAX_STAMPS / ROWS_BUDGET_SEC) so
+a loaded host degrades to fewer diagnostic samples — never to a dead
+round. Budgets are ~4-6x their quiet-host costs; a quiet run never
+clips.
+
 The timed set IS the driver's correctness registry (globallinks_spark.
 queries.REGISTRY): 50 entries covering every cataloged operator —
 consolidated suites time their member queries back-to-back in one
@@ -76,9 +90,30 @@ from globallinks_spark.session import get_spark
 _HERE = os.path.dirname(os.path.abspath(__file__))
 DETAIL_PATH = os.path.join(_HERE, "BENCH_DETAIL.json")
 
+# ----- diagnostics budgets (r12 verdict #1) ----------------------------
+# Both r12 driver bench runs timed out (rc 124) with all 50 queries
+# FINISHED: the window died in the diagnostics that used to run between
+# the query loop and the contract line — five fresh-JVM extract
+# subprocesses each allowed 900 s (the 8-core run burned a full 900 s
+# on one hang) plus per-entry adjudication probes that fire for MORE
+# entries and run SLOWER exactly when the host is loaded. Two fixes:
+# the contract line now prints IMMEDIATELY after the query loop (see
+# main()), and every diagnostic is wall-budgeted below so even the
+# diagnostics phase is bounded. Quiet-host costs for calibration: one
+# fresh-JVM extract run ≈ 35 s, one per-entry probe set ≈ 6-10 s, the
+# rows pass ≈ 30 s — each budget is ~4-6x its quiet cost, so a quiet
+# run never clips and a windowed run degrades to fewer samples instead
+# of a dead round. Pinned by
+# tests/test_bench_contract.py::test_diagnostics_budgets.
+EXTRACT_SUBPROC_TIMEOUT_SEC = 180   # per fresh-JVM subprocess; was 900
+EXTRACT_SECTION_BUDGET_SEC = 360    # whole fresh-JVM extract section
+ADJUDICATION_BUDGET_SEC = 240       # cumulative per-entry probe wall
+ADJUDICATION_MAX_STAMPS = 8         # max entries probed per session
+ROWS_BUDGET_SEC = 120               # post-contract row-count pass
+
 
 def _fresh_jvm_extract_once(
-    n_pages: int, cores: int, timeout_sec: int = 900,
+    n_pages: int, cores: int, timeout_sec: int = EXTRACT_SUBPROC_TIMEOUT_SEC,
 ) -> dict | None:
     """One bench_extract.py subprocess (its own JVM); parsed JSON line."""
     try:
@@ -429,7 +464,12 @@ def _pearson(xs: list[float], ys: list[float]) -> float | None:
     return round(sxy / (sxx * syy) ** 0.5, 3)
 
 
-def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
+def _fresh_jvm_extract(
+    n_pages: int = 100_000,
+    cores: int = 8,
+    budget_sec: float = EXTRACT_SECTION_BUDGET_SEC,
+    _clock=time.monotonic,
+) -> dict | None:
     """Exactly EXTRACT_RUNS fresh-subprocess runs of the extract kernel
     (each its own JVM). The reference's 300k pages/min/thread figure is
     a fresh-process measurement, so the gate-comparable number comes
@@ -459,7 +499,20 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
     import statistics
 
     results: list[dict] = []
-    for _ in range(EXTRACT_RUNS):
+    skipped = 0
+    t_section = _clock()
+    for i in range(EXTRACT_RUNS):
+        # r12 verdict #1: the section is wall-budgeted — once the runs
+        # already taken have consumed the budget, the remaining fresh-JVM
+        # launches are skipped (budget-clipped, recorded in the artifact)
+        # instead of riding a slow window past the driver's timeout.
+        if i > 0 and _clock() - t_section > budget_sec:
+            skipped = EXTRACT_RUNS - i
+            print(f"# extract section budget ({budget_sec:.0f}s) "
+                  f"exhausted after {i} runs; skipping the remaining "
+                  f"{skipped} fresh-JVM runs (budget-clipped)",
+                  file=sys.stderr)
+            break
         r = _fresh_jvm_extract_once(n_pages, cores)
         if r is not None:
             results.append(r)
@@ -479,6 +532,13 @@ def _fresh_jvm_extract(n_pages: int = 100_000, cores: int = 8) -> dict | None:
         for r, p in zip(results, probes) if p
     ]
     best["runs_pages_per_min_per_core"] = [r["value"] for r in results]
+    if skipped:
+        best["runs_budget_clipped"] = skipped
+        best["runs_budget_note"] = (
+            f"section wall budget {budget_sec:.0f}s exhausted; "
+            f"{skipped} of {EXTRACT_RUNS} fresh-JVM runs skipped — the "
+            f"gate median reads the runs actually taken (r12 verdict #1)"
+        )
     best["runs_8core_strhash_sec"] = probes
     best["runs_extract_sec"] = [r.get("extract_sec") for r in results]
     best["runs_calibrated_pages_per_min_per_core"] = calibrated
@@ -937,6 +997,15 @@ def main() -> None:
     probe_trigger: dict[str, str] = {}
     adjudication: dict[str, str] = {}
     adjudication_rerun: dict[str, float] = {}
+    # r12 verdict #1: per-entry adjudication is budgeted — on a loaded
+    # host MORE entries trip the 1.3x wire and each probe runs SLOWER, a
+    # feedback loop that inflates the run exactly when the window is
+    # scarce (both r12 driver runs died this way). Once the session has
+    # spent ADJUDICATION_BUDGET_SEC of wall in probes/reruns or probed
+    # ADJUDICATION_MAX_STAMPS entries, further triggered entries are
+    # stamped "budget-clipped" instead of probed — under a sustained
+    # window every additional stamp says the same thing.
+    adjudication_spent = 0.0
     baseline, baseline_rounds = _baseline_timings(sf)
     for name, spec in REGISTRY.items():
         samples: list[float] = []
@@ -963,9 +1032,26 @@ def main() -> None:
         # size (r8 verdict #1b; drift baseline per r9 verdict #4)
         reason = _probe_reason(timings[name], baseline.get(name))
         verdict = None
+        changed = None
         if reason is not None:
             probe_trigger[name] = reason
             changed = _active_changed_note(name, baseline_rounds)
+        if reason is not None and changed:
+            # composition-changed entries need no probe evidence — the
+            # stamp is "expected" regardless (saves adjudication budget)
+            verdict = _adjudicate(timings[name], baseline.get(name),
+                                  None, None, changed)
+        elif reason is not None and (
+                adjudication_spent > ADJUDICATION_BUDGET_SEC
+                or len(host_probe) >= ADJUDICATION_MAX_STAMPS):
+            verdict = (
+                f"budget-clipped — adjudication budget exhausted "
+                f"({len(host_probe)} entries probed, "
+                f"{adjudication_spent:.0f}s spent); probes skipped for "
+                f"this entry ({reason}); investigate on a quiet session"
+            )
+        elif reason is not None:
+            _t_adj = time.perf_counter()
             try:
                 host_probe[name] = _light_host_probe()
             except Exception as exc:
@@ -1019,18 +1105,55 @@ def main() -> None:
                 verdict = _rerun_adjudicate(
                     timings[name], baseline[name],
                     adjudication_rerun[name])
+            adjudication_spent += time.perf_counter() - _t_adj
         if verdict is not None:
             adjudication[name] = verdict
-        rows[name] = spec.fn(spark, sf_dir).count()
         print(
-            f"# {name}: {timings[name]:.3f}s ({rows[name]} rows; "
-            f"runs {runs_sec[name]}"
+            f"# {name}: {timings[name]:.3f}s (runs {runs_sec[name]}"
             + (f"; probe {host_probe[name]}s" if name in host_probe else "")
             + ")",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+
+    # ----- THE CONTRACT LINE, printed BEFORE any diagnostics (r12
+    # verdict #1): both r12 driver runs timed out inside the
+    # extract/adjudication diagnostics AFTER every query had finished,
+    # and the round lost its ground truth because this line used to
+    # print last. A late kill must never erase the headline. A run that
+    # completes re-prints the same line as the final stdout line,
+    # enriched with the extract figures — both prints carry identical
+    # query timings, so whichever one a parser reads (first or last
+    # JSON line) satisfies the contract.
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(out), flush=True)
+
+    # everything below is diagnostics: budget-bounded, and a failure in
+    # any of it must never take the contract line with it
+    diag_t0 = time.monotonic()
+    diag_notes: list[str] = []
+
+    # row counts (sidecar-only; moved AFTER the contract line in r13 —
+    # 50 extra count() actions were on the pre-headline critical path)
+    for name, spec in REGISTRY.items():
+        if time.monotonic() - diag_t0 > ROWS_BUDGET_SEC:
+            diag_notes.append(
+                f"rows pass budget-clipped after {len(rows)} of "
+                f"{len(REGISTRY)} entries ({ROWS_BUDGET_SEC}s)"
+            )
+            break
+        try:
+            rows[name] = spec.fn(spark, sf_dir).count()
+        except Exception as exc:
+            print(f"# rows count for {name} failed: {exc}", file=sys.stderr)
 
     # extraction throughput — the one metric BASELINE.md states a
     # directly comparable number for (~300k pages/min/thread parse-only;
@@ -1145,6 +1268,20 @@ def main() -> None:
         "baseline_rounds": baseline_rounds,
         "adjudication": adjudication_final,
         "adjudication_rerun_sec": adjudication_rerun,
+        "adjudication_budget": {
+            "spent_sec": round(adjudication_spent, 3),
+            "budget_sec": ADJUDICATION_BUDGET_SEC,
+            "max_stamps": ADJUDICATION_MAX_STAMPS,
+            "entries_probed": len(host_probe),
+        },
+        "diagnostics_notes": diag_notes,
+        "contract_order": (
+            "r13 (r12 verdict #1): the one-line headline JSON prints "
+            "IMMEDIATELY after the query loop, BEFORE rows counting, "
+            "extract runs and this sidecar; a completed run re-prints "
+            "the identical line enriched with the extract fields as the "
+            "final stdout line"
+        ),
         "pin_provenance": PIN_PROVENANCE,
         "pin_staleness": pin_checks,
         "confirmed_ledger": ledger,
@@ -1192,14 +1329,9 @@ def main() -> None:
     except OSError as exc:
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
 
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "detail": "BENCH_DETAIL.json",
-    }
+    # enrich the already-printed contract line with the extract figures
+    # and re-print it as the final stdout line — identical query
+    # timings, so either print satisfies the driver contract
     if extract is not None:
         out["extract_pages_per_min_per_core"] = extract["value"]
         if "value_raw_median" in extract:
@@ -1230,7 +1362,7 @@ def main() -> None:
         out["extract_in_bench_pages_per_min_per_core"] = (
             extract_in_bench["value"]
         )
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 

@@ -1,15 +1,15 @@
-"""r12 optimization probe: isolate registry / FULL_REGISTRY entries.
+"""r12+ optimization probe: isolate registry / FULL_REGISTRY entries.
 
 Times each named entry with the bench's own methodology (codegen warmup
 at sf0.001, noop sink, System.gc + clearCache between runs, min-of-N)
-and optionally writes the formatted physical plan to plans/r12/.
+and optionally writes the formatted physical plan to plans/<round>/ (round from $SPARK_GRAFT_PLAN_ROUND, default r13).
 
 Usage:
     python opt_probe.py <names_csv> [runs] [plan_tag]
 
 ``names_csv``  comma list of entry names; FULL_REGISTRY names allowed.
 ``runs``       timed repetitions (default 3).
-``plan_tag``   when given, write plans/r12/<name>_<plan_tag>.txt with
+``plan_tag``   when given, write plans/<round>/<name>_<plan_tag>.txt with
                the explain("formatted") output for each entry.
 
 Prints one JSON line {name: {"sec": min, "runs": [...], "rows": n}}.
@@ -59,8 +59,8 @@ def main() -> None:
             spark.catalog.clearCache()
         rec: dict = {"sec": min(samples), "runs": samples}
         if tag:
-            os.makedirs(os.path.join(_HERE, "plans", "r12"), exist_ok=True)
-            path = os.path.join(_HERE, "plans", "r12", f"{name}_{tag}.txt")
+            os.makedirs(os.path.join(_HERE, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")), exist_ok=True)
+            path = os.path.join(_HERE, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"), f"{name}_{tag}.txt")
             with open(path, "w", encoding="utf-8") as fh:
                 fh.write(plan_string(spec.fn(spark, sf_dir), "formatted"))
             rec["plan"] = os.path.relpath(path, _HERE)

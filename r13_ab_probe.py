@@ -1,0 +1,253 @@
+"""r13 interleaved A/B probe — same methodology as r12's opt_probe.py
+but over INLINE builder pairs, so an old form and a new form alternate
+in ONE JVM (min-of-N each, warmup first, noop sink, System.gc +
+clearCache between runs). Cross-session absolute seconds on this host
+swing with co-tenancy windows; interleaving cancels them to first
+order (OPTIMIZATION_r12.md "Method").
+
+Usage: python r13_ab_probe.py <case>[,<case>...] [runs]
+
+Cases are registered in CASES below; each is {variant: builder(spark,
+sf_dir) -> DataFrame}. Prints one JSON line
+{case: {variant: {"sec": min, "runs": [...]}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from globallinks_spark.queries_base import load
+from globallinks_spark.session import get_spark
+
+# ---------------------------------------------------------------------------
+# gap_fill: r12 form (no persist — per_hr aggregate recomputed by both
+# branches, two events scans) vs r13 form (persist + count barrier)
+
+
+def _gap_fill(events, persist: bool):
+    hr = F.date_trunc("hour", F.col("ts"))
+    per_hr = events.groupBy(F.col("user_id"), hr.alias("hour")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("hour_value"),
+    )
+    if persist:
+        per_hr = per_hr.persist()
+        per_hr.count()
+    bounds = per_hr.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour")))
+        .alias("hour"),
+    )
+    joined = grid.join(per_hr, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id", "hour",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n_events").isNull().alias("gap"),
+    )
+
+
+def gap_fill_old(spark, sf_dir):
+    return _gap_fill(load(spark, sf_dir, "events"), persist=False)
+
+
+def gap_fill_new(spark, sf_dir):
+    return _gap_fill(load(spark, sf_dir, "events"), persist=True)
+
+
+# ---------------------------------------------------------------------------
+# range_join (prior_event_stats): r12 form (LEFT join, LEFT side
+# exploded into 2 bucket rows) vs r13 candidate (LEFT side single-row,
+# RIGHT side exploded into the 2 buckets it can serve — halves the
+# preserved-side rows and the null padding into the aggregation)
+
+
+def _prior_event_stats(events, explode_side: str, lookback_sec: int = 600):
+    bucket_sec = lookback_sec
+    l = events.select(F.col("event_id"), F.col("ts").alias("l_ts"))
+    r = events.select(F.col("ts").alias("r_ts"), F.col("value").alias("r_value"))
+    lsec = F.unix_timestamp(F.col("l_ts"))
+    rsec = F.unix_timestamp(F.col("r_ts"))
+    n_buckets = -(-lookback_sec // bucket_sec) + 1
+    exact = (
+        F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {lookback_sec} SECOND")
+    ) & (F.col("r_ts") < F.col("l_ts"))
+    if explode_side == "left":
+        bbase = F.floor(lsec / bucket_sec)
+        l2 = l.withColumn(
+            "_bucket",
+            F.explode(F.array(*[bbase - i for i in range(n_buckets)])),
+        )
+        r2 = r.withColumn("_bucket", F.floor(rsec / bucket_sec))
+    else:
+        rbase = F.floor(rsec / bucket_sec)
+        l2 = l.withColumn("_bucket", F.floor(lsec / bucket_sec))
+        r2 = r.withColumn(
+            "_bucket",
+            F.explode(F.array(*[rbase + i for i in range(n_buckets)])),
+        )
+    joined = l2.join(r2, (l2["_bucket"] == r2["_bucket"]) & exact, "left")
+    return joined.groupBy("event_id").agg(
+        F.count("r_ts").alias("n_prior"),
+        F.coalesce(
+            F.round(
+                F.sum(F.col("r_value").cast("decimal(18,2)")).cast("double"), 2
+            ),
+            F.lit(0.0),
+        ).alias("prior_value"),
+    )
+
+
+def range_join_lexplode(spark, sf_dir):
+    return _prior_event_stats(load(spark, sf_dir, "events"), "left")
+
+
+def range_join_rexplode(spark, sf_dir):
+    return _prior_event_stats(load(spark, sf_dir, "events"), "right")
+
+
+# ---------------------------------------------------------------------------
+# quantiles (stats_profile member): percentile(array) whole-multiset
+# TypedImperativeAggregate vs the distributed two-phase form — pre-agg
+# (group, value) counts, per-group window cumsum, conditional-max rank
+# lookup with Spark's own interpolation arithmetic
+# ((higher - position) * vlo + (position - lower) * vhi, position =
+# p * (n - 1)) so the doubles are bit-identical.
+
+_QUANT_PS = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p99", 0.99)]
+
+
+def quantiles_old(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+        ).alias("ps")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ps")[0], 4).alias("p25"),
+        F.round(F.col("ps")[1], 4).alias("p50"),
+        F.round(F.col("ps")[2], 4).alias("p75"),
+        F.round(F.col("ps")[3], 4).alias("p99"),
+    )
+
+
+def quantiles_new(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    vc = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = F.sum("c").over(wcum)
+    frame = vc.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        (cum - F.col("c")).alias("pc"),   # exclusive prefix (0-based start)
+        cum.alias("cc"),                  # inclusive prefix
+        F.sum("c").over(wall).alias("n"),
+    )
+    aggs = []
+    for tag, p in _QUANT_PS:
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        aggs.append(F.max(
+            F.when((F.col("pc") <= lo) & (lo < F.col("cc")), F.col("v"))
+        ).alias(f"vlo_{tag}"))
+        aggs.append(F.max(
+            F.when((F.col("pc") <= hi) & (hi < F.col("cc")), F.col("v"))
+        ).alias(f"vhi_{tag}"))
+    grouped = frame.groupBy("l_returnflag", "n").agg(*aggs)
+    outs = []
+    for tag, p in _QUANT_PS:
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        exact = F.when(
+            hi == lo, F.col(f"vlo_{tag}")
+        ).otherwise(
+            (hi.cast("double") - pos) * F.col(f"vlo_{tag}")
+            + (pos - lo.cast("double")) * F.col(f"vhi_{tag}")
+        )
+        outs.append(F.round(exact, 4).alias(tag))
+    return grouped.select("l_returnflag", *outs)
+
+
+CASES: dict[str, dict[str, object]] = {
+    "gap_fill": {"old_noshare": gap_fill_old, "new_persist": gap_fill_new},
+    "range_join": {
+        "r12_lexplode": range_join_lexplode,
+        "r13_rexplode": range_join_rexplode,
+    },
+    "quantiles": {"old_percentile": quantiles_old, "new_window": quantiles_new},
+}
+
+
+def main() -> None:
+    names = [n for n in sys.argv[1].split(",") if n]
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+
+    spark = get_spark(app_name="r13_ab_probe")
+
+    def materialize(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for case in names:
+        variants = CASES[case]
+        # warmup every variant once at the smallest SF (codegen)
+        for vname, fn in variants.items():
+            try:
+                materialize(fn(spark, warm_dir))
+            except Exception as exc:
+                print(f"# warmup {case}/{vname} failed: {exc}",
+                      file=sys.stderr)
+            spark.catalog.clearCache()
+        samples: dict[str, list[float]] = {v: [] for v in variants}
+        for _ in range(runs):
+            for vname, fn in variants.items():  # interleave
+                spark.sparkContext._jvm.System.gc()
+                spark.sparkContext.setJobDescription(f"ab:{case}:{vname}")
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                samples[vname].append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+        out[case] = {
+            v: {"sec": min(s), "runs": s} for v, s in samples.items()
+        }
+        print(f"# {case}: " + ", ".join(
+            f"{v}={min(s)}s {s}" for v, s in samples.items()
+        ), file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

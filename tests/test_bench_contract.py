@@ -184,6 +184,95 @@ def test_probe_extract_correlation_recorded(monkeypatch):
     assert got["runs_extract_sec"] == [2.0 * p / pin for p in probes]
 
 
+def test_diagnostics_budgets():
+    """r12 verdict #1: both driver bench runs timed out (rc 124) inside
+    the diagnostics AFTER all 50 queries finished — the 900 s
+    fresh-JVM subprocess timeout and the unbounded per-entry
+    adjudication ate the window. Every diagnostic is now wall-budgeted,
+    with each budget several times its quiet-host cost (one fresh-JVM
+    run ≈ 35 s quiet, one probe set ≈ 6-10 s, the rows pass ≈ 30 s), so
+    a quiet run never clips and a loaded run degrades to fewer samples
+    instead of a dead round."""
+    import bench
+
+    assert bench.EXTRACT_SUBPROC_TIMEOUT_SEC == 180
+    assert bench.EXTRACT_SECTION_BUDGET_SEC == 360
+    assert bench.ADJUDICATION_BUDGET_SEC == 240
+    assert bench.ADJUDICATION_MAX_STAMPS == 8
+    assert bench.ROWS_BUDGET_SEC == 120
+    # the per-subprocess timeout is the function's default
+    import inspect
+
+    sig = inspect.signature(bench._fresh_jvm_extract_once)
+    assert sig.parameters["timeout_sec"].default == \
+        bench.EXTRACT_SUBPROC_TIMEOUT_SEC
+
+
+def test_extract_section_budget_clips_remaining_runs(monkeypatch):
+    """Once the fresh-JVM extract section has spent its wall budget,
+    the remaining launches are skipped and the clipping is recorded in
+    the artifact; the gate median reads the runs actually taken."""
+    import bench
+
+    _mock_runs(monkeypatch, [100_000] * 5)
+    ticks = iter([0.0, 200.0, 400.0, 600.0, 800.0, 1000.0])
+    got = bench._fresh_jvm_extract(
+        n_pages=1000, cores=8, budget_sec=360.0, _clock=lambda: next(ticks)
+    )
+    # t_section=0; run 0 unconditional; before run 1 clock=200 (ok);
+    # before run 2 clock=400 > 360 → clipped
+    assert got["runs_pages_per_min_per_core"] == [100_000, 100_000]
+    assert got["runs_budget_clipped"] == 3
+    assert "budget" in got["runs_budget_note"]
+    # an unclipped session records no clipping fields
+    _mock_runs(monkeypatch, [100_000] * 5)
+    got = bench._fresh_jvm_extract(n_pages=1000, cores=8)
+    assert "runs_budget_clipped" not in got
+
+
+def test_contract_line_prints_before_diagnostics():
+    """r12 verdict #1 pin: main() prints the headline JSON immediately
+    after the query loop — before the rows pass, the extract gate and
+    the sidecar write — and re-prints the enriched line as the final
+    statement, so a mid-diagnostics kill can never erase the headline."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    early = src.index("print(json.dumps(out), flush=True)")
+    assert early < src.index("rows[name] = spec.fn")
+    assert early < src.index("_fresh_jvm_extract(")
+    assert early < src.index("json.dump(detail")
+    # the enriched re-print is the last stdout print in main()
+    final = src.rindex("print(json.dumps(out), flush=True)")
+    assert final > src.index("json.dump(detail")
+
+
+def test_adjudication_budget_clip_stamp_shape():
+    """The budget-clipped stamp must not masquerade as any of the
+    verdict classes downstream machinery keys on: it must not enter the
+    ledger (confirmed*), count as window evidence (host-window/
+    transient*), or draw the stale-pin annotation (host-window/
+    unexplained*)."""
+    import bench
+
+    stamp = ("budget-clipped — adjudication budget exhausted (8 entries "
+             "probed, 241s spent); probes skipped for this entry "
+             "(abs>3s); investigate on a quiet session")
+    # never enters the ledger
+    out = bench._settle_ledger({"open": [], "closed": []}, 13,
+                               {"e": 2.0}, {"e": 1.0}, {"e": stamp})
+    assert out["open"] == [] and out["closed"] == []
+    # not window evidence for _contextualize_confirmed
+    adj = {"e": stamp, "d": "confirmed — rerun 3.0s still 2x baseline; "
+                            "investigate"}
+    assert bench._contextualize_confirmed(adj) == adj
+    # not annotated by a stale pin
+    stale = bench._pin_staleness("io_probe", 2.25, [1.42])
+    assert bench._apply_pin_staleness({"e": stamp}, [stale]) == {"e": stamp}
+
+
 def test_registry_stays_at_fifty():
     # adding a 51st entry silently drops one from the driver's
     # correctness suite AND lengthens the bench line — both gates live
