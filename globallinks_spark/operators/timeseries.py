@@ -8,13 +8,14 @@ reference engine (a link index, SURVEY.md §2) has no time-series
 surface, so this is a brief-extension operator like asof_join
 (queries_ext.q_asof_join), which it composes with.
 
-Scale notes (100 TB): the grid explodes per-entity bounded spans
-(``sequence`` between each user's own first/last hour — never a global
-calendar cross join), the per-hour pre-aggregation is one keyed
-shuffle that also bounds the join's left side, and the carry-forward
-window partitions by user so no global sort exists. Entity-level skew
-(one user with years of history) is bounded by span, not event count —
-the pre-aggregation collapses event volume before the window.
+Scale notes (100 TB): the per-hour pre-aggregation is the ONLY
+events-sized shuffle; densification is join-free (each real hour row
+explodes the bounded span to its successor — never a global calendar
+cross join, and no grid⋈per_hr join at all since r13), and the
+carry-forward window partitions by user so no global sort exists.
+Entity-level skew (one user with years of history) is bounded by span,
+not event count — the pre-aggregation collapses event volume before
+the window.
 """
 
 from __future__ import annotations
@@ -49,35 +50,53 @@ def gap_fill_hourly(
             F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
         ).alias("hour_value"),
     )
-    # bounds derive from the ALREADY-AGGREGATED per-hour frame, not the
-    # raw events: date_trunc is monotone, so min/max of truncated hours
-    # equal the truncated min/max of raw timestamps — this removes a
-    # second full scan + shuffle of the events table (guide §2.4: two
-    # operations keyed the same way share one pass); at 100 TB the
-    # savings is an events-table-sized scan and exchange
-    bounds = per_hr.groupBy(user_col).agg(
-        F.min("hour").alias("h0"),
-        F.max("hour").alias("h1"),
-    )
-    grid = bounds.select(
-        user_col,
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("hour"),
-    )
-    joined = grid.join(per_hr, [user_col, "hour"], "left")
+    # No-join densification: each REAL per-hour row explodes exactly the
+    # grid hours [hour, next_real_hour) it is responsible for, so the
+    # bounds aggregation, the grid build AND the grid⋈per_hr join of the
+    # r12 form all disappear — one events scan, one aggregation
+    # exchange, one per-user window (r12's form re-scanned and
+    # re-aggregated events for the bounds branch: the committed r12
+    # plans were isomorphic because Catalyst never shared the aggregate
+    # between the two subtrees). The carry-forward (LOCF) is computed on
+    # the real rows BEFORE the explode: a gap row's last-non-null
+    # predecessor is by construction its parent real row, and gap rows'
+    # own hour_value is NULL so they can never affect the carry. The
+    # coverage is identical — the grid spans first..last real hour per
+    # user, and the last real row contributes only itself.
     w = (
         Window.partitionBy(user_col)
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    wlead = Window.partitionBy(user_col).orderBy("hour")
+    carried = per_hr.select(
+        user_col, "hour", "n_events", "hour_value",
+        F.last("hour_value", ignorenulls=True).over(w).alias("__filled"),
+        F.lead("hour").over(wlead).alias("__nxt"),
+    )
+    grid = carried.select(
+        user_col, "n_events", "hour_value", "__filled",
+        F.col("hour").alias("__h"),
+        F.explode(
+            F.sequence(
+                "hour",
+                F.coalesce(
+                    F.col("__nxt") - F.expr("interval 1 hour"),
+                    F.col("hour"),
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour"),
+    )
+    real = F.col("hour") == F.col("__h")
+    return grid.select(
         user_col,
         "hour",
-        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
-        "hour_value",
-        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("n_events").isNull().alias("gap"),
+        F.when(real, F.col("n_events"))
+        .otherwise(F.lit(0).cast("bigint")).alias("n_events"),
+        F.when(real, F.col("hour_value")).alias("hour_value"),
+        F.col("__filled").alias("filled_value"),
+        (~real).alias("gap"),
     )
 
 

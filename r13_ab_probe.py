@@ -71,6 +71,56 @@ def gap_fill_new(spark, sf_dir):
     return _gap_fill(load(spark, sf_dir, "events"), persist=True)
 
 
+def gap_fill_leadexplode(spark, sf_dir):
+    """No-join form: each real per-hour row explodes the grid hours
+    [hour, next_real_hour) it is responsible for — the bounds agg, the
+    grid build AND the grid⋈per_hr join all disappear. filled_value is
+    carried forward on the REAL rows (last non-null hour_value) before
+    the explode, so gap rows inherit it from their parent row; the gap
+    rows' own hour_value is NULL and can never affect the carry."""
+    events = load(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    per_hr = events.groupBy(F.col("user_id"), hr.alias("hour")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("hour_value"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy("user_id").orderBy("hour")
+    carried = per_hr.select(
+        "user_id", "hour", "n_events", "hour_value",
+        F.last("hour_value", ignorenulls=True).over(w).alias("__filled"),
+        F.lead("hour").over(wlead).alias("__nxt"),
+    )
+    grid = carried.select(
+        "user_id", "n_events", "hour_value", "__filled",
+        F.col("hour").alias("__h"),
+        F.explode(
+            F.sequence(
+                "hour",
+                F.coalesce(
+                    F.col("__nxt") - F.expr("interval 1 hour"),
+                    F.col("hour"),
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour"),
+    )
+    real = F.col("hour") == F.col("__h")
+    return grid.select(
+        "user_id", "hour",
+        F.when(real, F.col("n_events")).otherwise(F.lit(0).cast("bigint"))
+        .alias("n_events"),
+        F.when(real, F.col("hour_value")).alias("hour_value"),
+        F.col("__filled").alias("filled_value"),
+        (~real).alias("gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # range_join (prior_event_stats): r12 form (LEFT join, LEFT side
 # exploded into 2 bucket rows) vs r13 candidate (LEFT side single-row,
@@ -198,6 +248,10 @@ def quantiles_new(spark, sf_dir):
 
 CASES: dict[str, dict[str, object]] = {
     "gap_fill": {"old_noshare": gap_fill_old, "new_persist": gap_fill_new},
+    "gap_fill2": {
+        "old_noshare": gap_fill_old,
+        "new_leadexplode": gap_fill_leadexplode,
+    },
     "range_join": {
         "r12_lexplode": range_join_lexplode,
         "r13_rexplode": range_join_rexplode,

@@ -200,7 +200,8 @@ class TestRound3PlanShapes:
             ("pack_sequences", 1),     # the per-shard window
             ("inverted_index", 1),     # the term aggregation
             ("session_window_agg", 1), # the session-window aggregation
-            ("gap_fill", 3),           # per-hour agg + bounds agg + join
+            ("gap_fill", 2),           # per-hour agg + carry/lead window
+                                       # (r13: join-free lead-explode)
             ("event_anomaly", 1),      # the per-user window
         ],
     )
@@ -382,6 +383,51 @@ class TestR12OptimizationShapes:
             "InMemoryTableScan"
         ), "a join leg re-derives the fingerprint lineage"
         spark.catalog.clearCache()
+
+
+class TestR13OptimizationShapes:
+    """Plan pins for the r13 optimization round's operator rewrites."""
+
+    def test_gap_fill_single_scan_no_join(self, spark_noaqe):
+        """r13 gap_fill: join-free lead-explode densification — ONE
+        events scan (the r12 form re-scanned + re-aggregated events for
+        the bounds branch; its committed plans were isomorphic because
+        Catalyst never shared the aggregate between subtrees) and NO
+        join of any kind: each real per-hour row explodes the grid
+        hours it is responsible for."""
+        import re
+
+        df = FULL_REGISTRY["gap_fill"].fn(spark_noaqe, SF)
+        plan = plan_string(df)
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans == 1, f"{n_scans} events scans (budget 1)"
+        assert "Join" not in plan, "densification join returned"
+        assert plan.count("Generate") >= 1, "grid explode missing"
+
+    def test_range_join_right_side_explodes(self, spark_noaqe):
+        """r13 prior_event_stats: bucket replication moved to the RIGHT
+        side of the LEFT interval join, so the preserved left side (and
+        the per-event aggregation fan-in) is un-exploded — the plan's
+        Generate must sit under the join's right leg, i.e. the explode
+        feeds the (r_ts, r_value) projection, not event_id."""
+        df = FULL_REGISTRY["range_join"].fn(spark_noaqe, SF)
+        plan = plan_string(df)
+        assert "LeftOuter" in plan, "LEFT interval join lost"
+        # exactly one Generate node (detail header), and its output
+        # explodes next to r_value — the right leg's columns
+        import re
+
+        gens = re.findall(r"\(\d+\) Generate", plan)
+        assert len(gens) == 1, f"{len(gens)} Generate nodes (want 1)"
+        # the Generate detail block's Input list names the right leg's
+        # columns (r_ts/r_value), not the left's event_id
+        gen_detail = plan.split(gens[0], 1)[1][:400]
+        assert "r_ts" in gen_detail, (
+            "explode is not on the right (r_*) leg:\n" + gen_detail
+        )
+        assert "event_id" not in gen_detail, (
+            "explode rides the preserved left leg:\n" + gen_detail
+        )
 
 
 class TestAudit:
