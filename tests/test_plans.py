@@ -429,6 +429,31 @@ class TestR13OptimizationShapes:
             "explode rides the preserved left leg:\n" + gen_detail
         )
 
+    def test_quantiles_scale_path_has_no_percentile_buffer(self, spark_noaqe):
+        """r12 verdict #7: q_quantiles' 100 TB path must not carry
+        percentile()'s whole-multiset TypedImperativeAggregate. The
+        size guard flips to the distributed window form above
+        QUANTILES_EXACT_BUFFER_MAX_BYTES; that form's plan must contain
+        no percentile aggregate, and its results must be cell-identical
+        to the percentile form (the guard changes the plan, never the
+        answer)."""
+        from globallinks_spark import queries_ext as QX
+        from globallinks_spark.queries_base import load as _load
+
+        li = _load(spark_noaqe, SF, "lineitem")
+        window_form = QX._quantiles_window_form(li)
+        plan = plan_string(window_form)
+        assert "percentile" not in plan.lower(), (
+            "percentile buffer on the scale path"
+        )
+        exact = QX.q_quantiles(spark_noaqe, SF)
+        assert "percentile(" in plan_string(exact), (
+            "small-input path lost the single-exchange percentile form"
+        )
+        a = sorted(map(tuple, window_form.collect()))
+        b = sorted(map(tuple, exact.collect()))
+        assert a == b, "guard paths disagree"
+
 
 class TestAudit:
     """plans.explain.audit: anti-pattern findings over the plan string.
