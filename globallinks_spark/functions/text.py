@@ -321,7 +321,21 @@ def punct_ratio_sql(expr: str) -> str:
 
 
 def bpe_token_count(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), 0))
+    # Array-free exact count (r13, guide §4 per-task work):
+    # size(regexp_extract_all(...)) materializes one String per token
+    # just to take the array's length. Collapsing every alpha/digit run
+    # to a single placeholder char and stripping whitespace leaves
+    # exactly one char per token of BPE_TOKEN_REGEX ('x' is safe as the
+    # placeholder: original 'x' chars are consumed by the [A-Za-z]+
+    # collapse, and any remaining char is a 1-char [^A-Za-z0-9\s]
+    # token either way). Verified 0 mismatches over every document at
+    # sf0.01/0.1 plus unicode/NBSP/empty/null edge strings; the oracle
+    # keeps the literal len(regexp_extract_all(...)) form.
+    return F.length(
+        F.regexp_replace(
+            F.regexp_replace(text, r"[A-Za-z]+|[0-9]+", "x"), r"\s", ""
+        )
+    )
 
 
 def bpe_token_count_sql(expr: str) -> str:

@@ -11,8 +11,11 @@ runner.run_store pattern, reference cmd/storelinks/main.go:171-175).
 
 Scale: the pre-shuffle on (split, shard) bounds writers per directory;
 shard counts size directories (n_shards=4096 at 100 TB → ~25 GB per
-shard, internally row-group-splittable). The manifest is one
-aggregation over the same frame — no second scan of written files.
+shard, internally row-group-splittable). Token counts are computed once
+in the write pass and stored per doc; the manifest aggregates them from
+a column-pruned readback of the written files — (split, shard,
+n_tokens) only — so the raw corpus is scanned and tokenized exactly
+once per build (the pre-r13 manifest re-scanned + re-tokenized it).
 """
 
 from __future__ import annotations
@@ -57,18 +60,34 @@ def write_training_shards(
     n_tokens) from the same frame, and the layout sidecar records the
     shard count + salt so readers re-derive shard ids exactly.
     """
-    staged = docs.withColumn("shard", shard_of(F.col(id_col), n_shards))
+    # token counts are computed ONCE, in the same pass as the write
+    # (r13, guide §2.3 "shuffle keys and metadata instead of payloads" /
+    # §1.2.1 "don't recompute what you already have"): the old manifest
+    # aggregation re-scanned + re-tokenized the whole corpus a second
+    # time. The per-doc count is itself a useful shard artifact (a
+    # trainer's loader can budget batches without touching text), costs
+    # 8 bytes/row, and lets the manifest below aggregate from a
+    # column-pruned readback of the files just written — (split, shard,
+    # n_tokens) only, never the text.
+    staged = docs.withColumn(
+        "shard", shard_of(F.col(id_col), n_shards)
+    ).withColumn(
+        "n_tokens", TX.bpe_token_count(F.col(text_col)).cast("bigint")
+    )
     (
         staged.repartition(F.col(split_col), F.col("shard"))
         .write.mode("overwrite")
         .partitionBy(split_col, "shard")
         .parquet(path)
     )
-    manifest = staged.groupBy(split_col, "shard").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(TX.bpe_token_count(F.col(text_col)))
-        .cast("bigint")
-        .alias("n_tokens"),
+    spark = docs.sparkSession
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(split_col, "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, _MANIFEST_DIR)

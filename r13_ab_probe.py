@@ -246,6 +246,179 @@ def quantiles_new(spark, sf_dir):
     return grouped.select("l_returnflag", *outs)
 
 
+# ---------------------------------------------------------------------------
+# bpe token count kernel: size(regexp_extract_all(...)) materializes an
+# array of every token; the array-free equivalent collapses alnum runs
+# to one char and strips whitespace - each alpha/digit run and each
+# other non-space char is exactly one token (verified 0 mismatches over
+# all documents at sf0.01/0.1 plus unicode/NBSP edge strings).
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokcount_old(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        .alias("n"),
+    )
+
+
+def tokcount_new(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"[A-Za-z]+|[0-9]+", "x"),
+                r"\s", "",
+            )
+        ).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_rewrite: unpersisted tokenized frame w feeds both the gram
+# branch and the join-back branch -> docs scanned + tokenized twice.
+# Candidate: persist w with count barrier (the PPJoin convention).
+
+
+def _span_dedup(docs, persist: bool, n: int = 4):
+    from globallinks_spark.functions import text as TX
+
+    w = docs.select("doc_id", TX.words(F.col("text")).alias("w"))
+    if persist:
+        w = w.persist()
+        w.count()
+    grams = w.select(
+        "doc_id",
+        F.posexplode(TX.shingles_seq(F.col("w"), n)).alias("pos", "gram"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("gram").orderBy("doc_id", "pos")
+    )
+    dup_starts = (
+        grams.withColumn("rk", rk)
+        .filter(F.col("rk") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ds"))
+    )
+    n_tokens = F.size("w")
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_tokens - 1, F.lit(0))),
+        lambda t: t < n_tokens,
+    )
+    covered = lambda t: F.exists(
+        F.col("ds"), lambda s: (s >= t - (n - 1)) & (s <= t)
+    )
+    mask = F.transform(idx, covered)
+    kept = F.filter(
+        F.zip_with(F.col("w"), mask, lambda x, m: F.when(~m, x)),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        w.join(dup_starts, "doc_id", "left")
+        .withColumn(
+            "ds", F.coalesce(F.col("ds"), F.array().cast("array<int>"))
+        )
+        .select(
+            "doc_id",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            (n_tokens - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
+    )
+
+
+def span_dedup_old(spark, sf_dir):
+    from globallinks_spark.operators.corpus import SPAN_DEDUP_NGRAM
+
+    return _span_dedup(
+        load(spark, sf_dir, "documents"), False, SPAN_DEDUP_NGRAM
+    )
+
+
+def span_dedup_persist(spark, sf_dir):
+    from globallinks_spark.operators.corpus import SPAN_DEDUP_NGRAM
+
+    return _span_dedup(
+        load(spark, sf_dir, "documents"), True, SPAN_DEDUP_NGRAM
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_roundtrip: old sink (manifest re-scans + re-tokenizes the raw
+# corpus) vs r13 sink (n_tokens computed once in the write pass,
+# manifest from a column-pruned readback of the written files)
+
+
+def _shard_roundtrip_with(spark, sf_dir, write_fn):
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from globallinks_spark.functions import text as TX2
+    from globallinks_spark.sources.corpus_sink import read_training_shards
+
+    d = load(spark, sf_dir, "documents")
+    split = (
+        FF.when(FF.col("doc_id") % 10 < 8, "train")
+        .when(FF.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    path = tempfile.mkdtemp(prefix="ab_shard_")
+    write_fn(d.withColumn("split", split), path)
+    back = read_training_shards(spark, path, split="train")
+    return back.groupBy("split", "shard").agg(
+        FF.count(FF.lit(1)).alias("n_docs"),
+        FF.sum(TX2.bpe_token_count(FF.col("text"))).cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def _old_write_training_shards(docs, path, n_shards=16):
+    import os as _os
+
+    from pyspark.sql import functions as FF
+
+    from globallinks_spark.functions import text as TX2
+    from globallinks_spark.sources.corpus_sink import shard_of
+
+    staged = docs.withColumn("shard", shard_of(FF.col("doc_id"), n_shards))
+    (
+        staged.repartition(FF.col("split"), FF.col("shard"))
+        .write.mode("overwrite").partitionBy("split", "shard").parquet(path)
+    )
+    manifest = staged.groupBy("split", "shard").agg(
+        FF.count("*").cast("bigint").alias("n_docs"),
+        FF.sum(TX2.bpe_token_count(FF.col("text"))).cast("bigint")
+        .alias("n_tokens"),
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "_shard_manifest")
+    )
+    import json as _json
+
+    with open(_os.path.join(path, "_shards_meta.json"), "w") as fh:
+        _json.dump(
+            {"n_shards": n_shards, "salt": "shard:", "split_col": "split"},
+            fh,
+        )
+
+
+def shard_rt_old(spark, sf_dir):
+    return _shard_roundtrip_with(spark, sf_dir, _old_write_training_shards)
+
+
+def shard_rt_new(spark, sf_dir):
+    from globallinks_spark.sources.corpus_sink import write_training_shards
+
+    return _shard_roundtrip_with(
+        spark, sf_dir, lambda d, p: write_training_shards(d, p, n_shards=16)
+    )
+
+
 CASES: dict[str, dict[str, object]] = {
     "gap_fill": {"old_noshare": gap_fill_old, "new_persist": gap_fill_new},
     "gap_fill2": {
@@ -257,6 +430,9 @@ CASES: dict[str, dict[str, object]] = {
         "r13_rexplode": range_join_rexplode,
     },
     "quantiles": {"old_percentile": quantiles_old, "new_window": quantiles_new},
+    "tokcount": {"old_extractall": tokcount_old, "new_lengths": tokcount_new},
+    "span_dedup": {"old_noshare": span_dedup_old, "new_persist": span_dedup_persist},
+    "shard_rt": {"old_manifest_rescan": shard_rt_old, "new_pruned_manifest": shard_rt_new},
 }
 
 
