@@ -610,23 +610,33 @@ def connected_components(
     changed = -1
     prev_blocks = _ckpt_rdd(labels)
     for _ in range(max_iterations):
-        nbr_min = (
+        # one join + ONE aggregation per round (r13): each node's own
+        # label rides the SAME exchange as its neighbors' contributions
+        # (a union row tagged own=true), so the former second join —
+        # labels LEFT JOIN nbr_min, a node-count-sized shuffle per
+        # round — is gone (guide §2.4: operations keyed the same way
+        # share one exchange). The own row doubles as change detection:
+        # min(all contributions) < own label ⇔ the round changed the
+        # node, and nodes with no matching neighbors (impossible in sym,
+        # but harmless) would keep their own row.
+        contrib = (
             sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a").agg(F.min("label").alias("nbr_min"))
+            .select(sym["a"].alias("node"), "label",
+                    F.lit(False).alias("own"))
         )
-        # change detection rides the same join as the update (the old
-        # label is already on the row) — a separate new-vs-old join
-        # would add a full shuffle per round for information the update
-        # row carries for free
+        self_rows = labels.select(
+            "node", "label", F.lit(True).alias("own")
+        )
         upd = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            contrib.unionByName(self_rows)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
+            )
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_min"), F.col("label"))
-                 < F.col("label")).alias("__chg"),
+                "node", "label",
+                (F.col("label") < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint(eager=False)
         )

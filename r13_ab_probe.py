@@ -419,6 +419,125 @@ def shard_rt_new(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# connected_components round shape: old (join + groupBy + LEFT join
+# back to labels) vs union-agg (self-label rows ride the neighbor
+# aggregation's exchange - one join per round instead of two)
+
+
+def _cc_union_agg(pairs, a_col="doc_a", b_col="doc_b", max_iterations=20):
+    from globallinks_spark.operators.dedup import _ckpt_rdd
+
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    changed = -1
+    prev_blocks = _ckpt_rdd(labels)
+    for _ in range(max_iterations):
+        contrib = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(sym["a"].alias("node"), "label",
+                    F.lit(False).alias("own"))
+        )
+        self_rows = labels.select(
+            "node", "label", F.lit(True).alias("own")
+        )
+        upd = (
+            contrib.unionByName(self_rows)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
+            )
+            .select(
+                "node", "label",
+                (F.col("label") < F.col("__old")).alias("__chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = upd.filter(F.col("__chg")).count()
+        if prev_blocks is not None:
+            prev_blocks.unpersist(False)
+        prev_blocks = _ckpt_rdd(upd)
+        labels = upd.select("node", "label")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError("no converge")
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_groups_old(spark, sf_dir):
+    from globallinks_spark.operators.dedup import dedup_groups
+
+    return dedup_groups(load(spark, sf_dir, "documents"))
+
+
+def dedup_groups_unionagg(spark, sf_dir):
+    from globallinks_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(load(spark, sf_dir, "documents"))
+    comp = _cc_union_agg(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keeper_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_random_projection bucket: 8 interpreted-HOF folds (zip_with +
+# aggregate lambdas) per row vs unrolled literal multiply-adds in the
+# same left-assoc order (bit-identical doubles, whole-stage codegen)
+
+
+def _rp_bucket_unrolled(a, bits, dim, seed=0x5EED):
+    from globallinks_spark.functions.vectors import projection_matrix
+
+    M = projection_matrix(bits, dim, seed)
+    out = F.lit(0.0)
+    for j, row in enumerate(M):
+        acc = F.lit(0.0)
+        for i, x in enumerate(row):
+            acc = acc + F.element_at(a, i + 1).cast("double") * F.lit(x)
+        out = out + F.when(
+            acc > 0, F.pow(F.lit(2.0), F.lit(float(j)))
+        ).otherwise(F.lit(0.0))
+    return out.cast("int")
+
+
+def _ann_rp(spark, sf_dir, bucket_fn):
+    from globallinks_spark.operators.similarity import cosine_topk
+    from globallinks_spark.queries_ext import _query_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = _query_vec(emb, "ann_random_projection")
+    dim = len(qvec)
+    bucket = bucket_fn(F.col("embedding"), 8, dim)
+    qb = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(bucket.alias("b")).first()["b"]
+    )
+    cands = emb.withColumn("b", bucket).filter(F.col("b") == qb)
+    return cosine_topk(cands, qvec, k=5)
+
+
+def ann_rp_old(spark, sf_dir):
+    from globallinks_spark.functions.vectors import random_projection_bucket
+
+    return _ann_rp(spark, sf_dir, random_projection_bucket)
+
+
+def ann_rp_unrolled(spark, sf_dir):
+    return _ann_rp(spark, sf_dir, _rp_bucket_unrolled)
+
+
 CASES: dict[str, dict[str, object]] = {
     "gap_fill": {"old_noshare": gap_fill_old, "new_persist": gap_fill_new},
     "gap_fill2": {
@@ -433,6 +552,11 @@ CASES: dict[str, dict[str, object]] = {
     "tokcount": {"old_extractall": tokcount_old, "new_lengths": tokcount_new},
     "span_dedup": {"old_noshare": span_dedup_old, "new_persist": span_dedup_persist},
     "shard_rt": {"old_manifest_rescan": shard_rt_old, "new_pruned_manifest": shard_rt_new},
+    "dedup_groups": {
+        "old_two_joins": dedup_groups_old,
+        "new_union_agg": dedup_groups_unionagg,
+    },
+    "ann_rp": {"old_hof": ann_rp_old, "new_unrolled": ann_rp_unrolled},
 }
 
 
